@@ -1,0 +1,164 @@
+"""The CRF model: config + parameters + potentials + training criterion.
+
+Capability-parity with ``CRF_Model`` (owns the lambda vector, label alphabet,
+states-per-label, feature-map handle — SURVEY.md §2.1) and with the training
+criterion computed by ``CRF_NewGradBuilder::buildGradient`` (§3.1): the
+conditional log-likelihood  log p(y|x) = score(y) - logZ(x).
+
+TPU-first differences:
+- The numerator is a *clamped forward pass* (states inconsistent with the
+  frame's phone label are masked to the semiring zero), which handles both
+  monophone (single consistent path -> exact path score) and n-state
+  topologies (marginalizes over within-phone state alignments) with the same
+  scan as the denominator — no separate "alignment lattice" machinery.
+- The gradient is ``jax.grad`` of the loss; the expected-count accumulation
+  the reference hand-codes (``computeExpF``) is exactly what autodiff of the
+  scan produces (verified in tests/oracle/test_grad_identity.py).
+- Everything is batched over utterances and jit-compiled.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from asr_craft_tpu.models.feature_map import (FeatureMapConfig,
+                                              dense_potentials,
+                                              sparse_potentials)
+from asr_craft_tpu.models.topology import Topology
+from asr_craft_tpu.ops import fwdbwd
+from asr_craft_tpu.ops.viterbi import viterbi_batch
+from asr_craft_tpu.ops.semiring import NEG_INF
+
+
+@dataclasses.dataclass(frozen=True)
+class CrfConfig:
+    """Model hyperparameters (the reference's ``crf_*`` flags)."""
+
+    num_labels: int                       # phone alphabet (crf_label_size)
+    feat_dim: int                         # input feature dim after windowing
+    num_states: int = 1                   # states per label (crf_states)
+    state_range: Optional[Tuple[int, int]] = None
+    trans_range: Tuple[int, int] = (0, 0)
+    use_state_bias: bool = True
+    use_trans_bias: bool = True
+    featuremap: str = "dense"             # "dense" | "sparse" (crf_featuremap)
+    # n-state start/end state masking (paths enter a phone at its first state
+    # and the utterance must end in a phone's last state) — the reference
+    # n-state node's boundary masking.  No-op for num_states == 1.
+    enforce_boundaries: bool = True
+
+    @property
+    def topology(self) -> Topology:
+        return Topology(self.num_labels, self.num_states)
+
+    @property
+    def fmap(self) -> FeatureMapConfig:
+        return FeatureMapConfig(
+            feat_dim=self.feat_dim,
+            num_expanded=self.topology.num_expanded,
+            state_range=self.state_range,
+            trans_range=self.trans_range,
+            use_state_bias=self.use_state_bias,
+            use_trans_bias=self.use_trans_bias,
+            kind=self.featuremap,
+        )
+
+    def init_params(self, key=None, scale: float = 0.0):
+        key = key if key is not None else jax.random.PRNGKey(0)
+        return self.fmap.init_params(key, scale)
+
+
+def potentials(cfg: CrfConfig, params, feats, sparse=None):
+    """Feature frames -> (log_phi_state, log_phi_trans) with topology applied.
+
+    ``feats``: (B, T, D) dense frames, or for the sparse map pass
+    ``sparse=(indices, values)`` with (B, T, K) each (``feats`` ignored).
+    Returns state (B, T, L') and trans (L', L') or (B, T, L', L'), with the
+    n-state structural mask folded in as an additive NEG_INF penalty.
+    """
+    if cfg.featuremap == "sparse":
+        if sparse is None:
+            raise ValueError("sparse feature map needs sparse=(indices, values)")
+        state, trans = sparse_potentials(cfg.fmap, params, *sparse)
+    else:
+        state, trans = dense_potentials(cfg.fmap, params, feats)
+    if cfg.num_states > 1:
+        trans = trans + jnp.asarray(cfg.topology.transition_penalty())
+    return state, trans
+
+
+def apply_boundaries(cfg: CrfConfig, state, lengths):
+    """Fold start/end state masking into the state potentials.
+
+    ``state``: (B, T, L'); frame 0 is restricted to phone entry states and
+    frame ``length-1`` to phone exit states.  Identity for monophone or
+    ``enforce_boundaries=False``.
+    """
+    if cfg.num_states == 1 or not cfg.enforce_boundaries:
+        return state
+    topo = cfg.topology
+    T = state.shape[-2]
+    start = jnp.asarray(topo.start_penalty())
+    end = jnp.asarray(topo.end_penalty())
+    state = state.at[..., 0, :].add(start)
+    at_end = (jnp.arange(T)[None, :] == (lengths - 1)[:, None])
+    return state + jnp.where(at_end[..., None], end[None, None, :], 0.0)
+
+
+def crf_loss(cfg: CrfConfig, params, feats, labels, lengths, sparse=None,
+             label_kind: str = "phone"):
+    """Mean negative conditional log-likelihood per frame.
+
+    ``labels``: (B, T) int32 frame labels — phone labels by default, or
+    expanded-state labels with ``label_kind='state'`` (the reference's
+    hardtarget streams can carry either; SURVEY.md §2.1 "hardtarget_*").
+    Returns (loss, aux dict) where aux carries per-utterance logZ and
+    numerator scores (the reference logs logZx per utterance).
+    """
+    state, trans = potentials(cfg, params, feats, sparse)
+    state = apply_boundaries(cfg, state, lengths)
+    logZ = fwdbwd.log_partition_batch(state, trans, lengths)
+
+    if label_kind == "state":
+        states = jnp.arange(cfg.topology.num_expanded)
+        clamp = jnp.where(labels[..., None] == states, 0.0, NEG_INF)
+    else:
+        clamp = cfg.topology.clamp_mask(labels)
+    num = fwdbwd.log_partition_batch(state + clamp, trans, lengths)
+
+    nll = logZ - num                               # (B,)
+    total_frames = jnp.maximum(jnp.sum(lengths), 1)
+    loss = jnp.sum(nll) / total_frames
+    return loss, {"logZ": logZ, "numerator": num, "nll": nll,
+                  "frames": total_frames}
+
+
+def decode(cfg: CrfConfig, params, feats, lengths, sparse=None,
+           beam_width: Optional[int] = None):
+    """Batched Viterbi over expanded states, collapsed to per-frame phones.
+
+    Returns (phone_frames (B, T), state_paths (B, T), scores (B,)).
+    """
+    state, trans = potentials(cfg, params, feats, sparse)
+    state = apply_boundaries(cfg, state, lengths)
+    paths, scores = viterbi_batch(state, trans, lengths, beam_width)
+    return cfg.topology.path_to_phones(paths), paths, scores
+
+
+def frame_posteriors(cfg: CrfConfig, params, feats, lengths, sparse=None):
+    """(B, T, L') label posteriors — the parity tensor surface."""
+    state, trans = potentials(cfg, params, feats, sparse)
+    state = apply_boundaries(cfg, state, lengths)
+    return fwdbwd.posteriors_batch(state, trans, lengths)
+
+
+def frame_accuracy(phone_frames, labels, lengths):
+    """Fraction of valid frames with correct phone label (the reference's
+    per-epoch CV metric)."""
+    T = labels.shape[-1]
+    valid = jnp.arange(T)[None, :] < lengths[:, None]
+    correct = (phone_frames == labels) & valid
+    return jnp.sum(correct) / jnp.maximum(jnp.sum(valid), 1)

@@ -1,0 +1,128 @@
+"""CRF model: loss semantics, clamped numerator, decode, gradients."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from asr_craft_tpu import ops
+from asr_craft_tpu.models import CrfConfig, crf_loss, decode, frame_accuracy
+from asr_craft_tpu.models.crf import potentials
+from asr_craft_tpu.models import weights as W
+
+
+def _random_batch(rng, B=3, T=9, D=6, L=4):
+    feats = rng.normal(size=(B, T, D)).astype(np.float32)
+    labels = rng.integers(0, L, size=(B, T)).astype(np.int32)
+    lengths = np.array([T, T - 3, T - 5], np.int32)[:B]
+    return jnp.asarray(feats), jnp.asarray(labels), jnp.asarray(lengths)
+
+
+def test_monophone_numerator_is_path_score(rng):
+    """With 1 state per label the clamped forward admits exactly one path,
+    so the numerator must equal the explicit gold path score."""
+    cfg = CrfConfig(num_labels=4, feat_dim=6, trans_range=(3, 6))
+    params = cfg.init_params(jax.random.PRNGKey(0), scale=0.4)
+    feats, labels, lengths = _random_batch(rng)
+    _, aux = crf_loss(cfg, params, feats, labels, lengths)
+    state, trans = potentials(cfg, params, feats)
+    ref = ops.path_score_batch(state, trans, labels, lengths)
+    np.testing.assert_allclose(np.asarray(aux["numerator"]), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_loss_positive_and_decreases_with_sgd(rng):
+    cfg = CrfConfig(num_labels=4, feat_dim=6)
+    params = cfg.init_params()
+    feats, labels, lengths = _random_batch(rng)
+
+    loss_fn = lambda p: crf_loss(cfg, p, feats, labels, lengths)[0]
+    l0 = float(loss_fn(params))
+    assert l0 > 0  # -log p(y|x) of uniform model = log L per frame-ish
+    np.testing.assert_allclose(l0, np.log(4), rtol=1e-5)  # zero init => uniform
+    g = jax.grad(loss_fn)(params)
+    params2 = jax.tree.map(lambda p, gg: p - 0.5 * gg, params, g)
+    assert float(loss_fn(params2)) < l0
+
+
+def test_nstate_loss_and_decode(rng):
+    cfg = CrfConfig(num_labels=3, feat_dim=5, num_states=2)
+    params = cfg.init_params(jax.random.PRNGKey(3), scale=0.3)
+    B, T = 3, 8
+    feats = jnp.asarray(rng.normal(size=(B, T, 5)), jnp.float32)
+    # phone runs of length 2 so every phone can traverse both states, and
+    # lengths on run boundaries so the final phone can reach its exit state
+    labels = jnp.asarray(np.repeat(rng.integers(0, 3, size=(B, T // 2)), 2,
+                                   axis=1), jnp.int32)
+    lengths = jnp.asarray([8, 4, 6], jnp.int32)
+    loss, aux = crf_loss(cfg, params, feats, labels, lengths)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    # numerator <= logZ always
+    assert (np.asarray(aux["numerator"]) <= np.asarray(aux["logZ"]) + 1e-5).all()
+    phones, states, scores = decode(cfg, params, feats, lengths)
+    assert phones.shape == labels.shape
+    assert int(jnp.max(phones)) < 3 and int(jnp.max(states)) < 6
+    # decoded expanded path must respect the topology mask
+    mask = cfg.topology.transition_mask()
+    sp = np.asarray(states)
+    for b in range(sp.shape[0]):
+        for t in range(1, int(lengths[b])):
+            assert mask[sp[b, t - 1], sp[b, t]]
+
+
+def test_state_label_kind(rng):
+    """Clamping to explicit expanded-state labels (hardtarget at state
+    granularity) gives a single-path numerator equal to the path score."""
+    cfg = CrfConfig(num_labels=3, feat_dim=5, num_states=2)
+    params = cfg.init_params(jax.random.PRNGKey(4), scale=0.3)
+    B, T = 2, 6
+    feats = jnp.asarray(np.random.default_rng(5).normal(size=(B, T, 5)),
+                        dtype=jnp.float32)
+    # a topology-legal state path: stay in phone 0: 0,1 then phone 2: 4,5...
+    state_labels = jnp.asarray([[0, 0, 1, 4, 5, 5], [2, 3, 0, 0, 1, 1]],
+                               dtype=jnp.int32)
+    lengths = jnp.asarray([6, 6], jnp.int32)
+    _, aux = crf_loss(cfg, params, feats, state_labels, lengths,
+                      label_kind="state")
+    state, trans = potentials(cfg, params, feats)
+    ref = ops.path_score_batch(state, trans, state_labels, lengths)
+    np.testing.assert_allclose(np.asarray(aux["numerator"]), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_frame_accuracy():
+    phones = jnp.asarray([[1, 2, 3, 0], [1, 1, 1, 1]])
+    labels = jnp.asarray([[1, 2, 0, 0], [1, 0, 1, 0]])
+    lengths = jnp.asarray([3, 2])
+    acc = frame_accuracy(phones, labels, lengths)
+    np.testing.assert_allclose(float(acc), 3 / 5)
+
+
+def test_weight_file_roundtrip(tmp_path):
+    cfg = CrfConfig(num_labels=4, feat_dim=6, trans_range=(3, 6))
+    params = cfg.init_params(jax.random.PRNGKey(7), scale=1.0)
+    fm = cfg.fmap
+    raw = tmp_path / "w.dat"
+    W.save_raw(raw, fm, params)
+    # file is exactly num_params little-endian doubles (reference format)
+    assert raw.stat().st_size == fm.num_params() * 8
+    back = W.load_raw(raw, fm)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(back[k]), np.asarray(params[k]),
+                                   rtol=1e-6)
+    npz = tmp_path / "w.npz"
+    W.save_npz(npz, params)
+    back2 = W.load_npz(npz)
+    for k in params:
+        np.testing.assert_allclose(back2[k], np.asarray(params[k]))
+
+
+def test_sparse_model_loss(rng):
+    cfg = CrfConfig(num_labels=3, feat_dim=8, featuremap="sparse",
+                    state_range=(0, 8))
+    params = cfg.init_params(jax.random.PRNGKey(8), scale=0.2)
+    B, T, K = 2, 5, 3
+    idx = jnp.asarray(rng.integers(0, 8, size=(B, T, K)), jnp.int32)
+    val = jnp.asarray(rng.normal(size=(B, T, K)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 3, size=(B, T)), jnp.int32)
+    lengths = jnp.asarray([5, 4], jnp.int32)
+    loss, _ = crf_loss(cfg, params, None, labels, lengths, sparse=(idx, val))
+    assert np.isfinite(float(loss))
