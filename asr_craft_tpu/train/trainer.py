@@ -1,0 +1,223 @@
+"""Training loop: batched jit-compiled SGD on the CRF log-likelihood.
+
+Replaces the reference trainer stack (``CRF_Trainer`` / ``CRF_SGTrainer`` /
+``CRF_GradBuilder`` — SURVEY.md §2.1, §3.1).  Key transformation (BASELINE
+north_star): "per-utterance SGD becomes batched jit-compiled forward-
+backward" — one jitted step computes loss + grad over a padded utterance
+batch and applies an optax update; data parallelism is a sharding annotation
+on the batch (see :mod:`asr_craft_tpu.parallel`), under which XLA inserts
+the gradient all-reduce over ICI.
+
+Reference behaviours kept: per-epoch learning-rate schedule, optional
+Polyak weight averaging (the reference's averaged-weights file), per-epoch
+weight checkpoints + CV evaluation (frame accuracy and PER), periodic logZx
+logging.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from functools import partial
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from asr_craft_tpu.decode.scorer import ErrorRateScorer, score_batch
+from asr_craft_tpu.models import crf as crf_mod
+from asr_craft_tpu.models import weights as weights_mod
+from asr_craft_tpu.models.crf import CrfConfig
+from asr_craft_tpu.utils.logging import MetricsLogger
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """The reference's ``crf_lr`` / ``crf_epochs`` / trainer-selection flags."""
+
+    lr: float = 0.05
+    lr_decay: float = 1.0          # multiplicative per-epoch decay
+    momentum: float = 0.0
+    optimizer: str = "sgd"          # "sgd" | "adam" | "adagrad"
+    l2: float = 0.0                 # weight decay (reference gaussian prior)
+    epochs: int = 5
+    weight_avg: bool = False        # Polyak averaging of lambdas
+    avg_decay: float = 0.999
+    log_every: int = 50
+    frame_shift_s: float = 0.01     # 10ms frames: audio-seconds metric
+    out_dir: Optional[str] = None   # per-epoch weight files + metrics.jsonl
+
+
+def make_optimizer(tc: TrainConfig, epoch: int = 0) -> optax.GradientTransformation:
+    lr = tc.lr * (tc.lr_decay ** epoch)
+    if tc.optimizer == "sgd":
+        opt = optax.sgd(lr, momentum=tc.momentum or None)
+    elif tc.optimizer == "adam":
+        opt = optax.adam(lr)
+    elif tc.optimizer == "adagrad":
+        opt = optax.adagrad(lr)
+    else:
+        raise ValueError(f"unknown optimizer {tc.optimizer!r}")
+    if tc.l2:
+        opt = optax.chain(optax.add_decayed_weights(tc.l2), opt)
+    return opt
+
+
+def make_train_step(cfg: CrfConfig, tc: TrainConfig,
+                    label_kind: str = "phone") -> Callable:
+    """Returns jitted ``step(params, opt_state, avg_params, batch, lr_scale)
+    -> (params, opt_state, avg_params, metrics)``.
+
+    ``lr_scale`` implements the per-epoch schedule without retracing: the
+    optimizer is built at lr=1 internally and scaled... (kept simple: the
+    optimizer is rebuilt per epoch instead — optax states are compatible
+    across lr changes for sgd/adam, so we just scale grads).
+    """
+    base_opt = make_optimizer(dataclasses.replace(tc, lr=1.0))
+
+    def loss_fn(params, batch):
+        return crf_mod.crf_loss(cfg, params, batch["feats"], batch["labels"],
+                                batch["lengths"], label_kind=label_kind)
+
+    @jax.jit
+    def step(params, opt_state, avg_params, batch, lr):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch)
+        updates, opt_state = base_opt.update(grads, opt_state, params)
+        # The optimizer is built at lr=1 and the final updates are scaled by
+        # the schedule value — exact for sgd/momentum/adam (optax applies
+        # scale_by_learning_rate last) and avoids retracing per epoch.
+        updates = jax.tree.map(lambda u: u * lr, updates)
+        params = optax.apply_updates(params, updates)
+        if tc.weight_avg:
+            avg_params = jax.tree.map(
+                lambda a, p: tc.avg_decay * a + (1 - tc.avg_decay) * p,
+                avg_params, params)
+        grad_norm = optax.global_norm(grads)
+        metrics = {"loss": loss, "grad_norm": grad_norm,
+                   "mean_logZ": jnp.mean(aux["logZ"]),
+                   "frames": aux["frames"]}
+        return params, opt_state, avg_params, metrics
+
+    return step, base_opt
+
+
+def make_eval_step(cfg: CrfConfig, label_kind: str = "phone") -> Callable:
+    @jax.jit
+    def eval_step(params, batch):
+        loss, aux = crf_mod.crf_loss(cfg, params, batch["feats"],
+                                     batch["labels"], batch["lengths"],
+                                     label_kind=label_kind)
+        phones, _, _ = crf_mod.decode(cfg, params, batch["feats"],
+                                      batch["lengths"])
+        T = batch["labels"].shape[-1]
+        valid = (jnp.arange(T)[None, :] < batch["lengths"][:, None])
+        if label_kind == "state":
+            ref_phones = cfg.topology.phone_of(batch["labels"])
+        else:
+            ref_phones = batch["labels"]
+        correct = jnp.sum((phones == ref_phones) & valid)
+        return {"loss": loss, "correct": correct,
+                "valid": jnp.sum(valid), "phones": phones,
+                "frames": aux["frames"]}
+    return eval_step
+
+
+class Trainer:
+    """Epoch-loop driver (the ``CRF_SGTrainer::train()`` analogue)."""
+
+    def __init__(self, cfg: CrfConfig, tc: TrainConfig,
+                 params: Optional[dict] = None, label_kind: str = "phone",
+                 logger: Optional[MetricsLogger] = None):
+        self.cfg, self.tc = cfg, tc
+        self.label_kind = label_kind
+        self.params = params if params is not None else cfg.init_params()
+        self.step_fn, self.opt = make_train_step(cfg, tc, label_kind)
+        self.eval_fn = make_eval_step(cfg, label_kind)
+        self.opt_state = self.opt.init(self.params)
+        self.avg_params = jax.tree.map(jnp.copy, self.params)
+        self.step = 0
+        self.epoch = 0
+        self.logger = logger or MetricsLogger(
+            os.path.join(tc.out_dir, "metrics.jsonl") if tc.out_dir else None)
+
+    def current_lr(self) -> float:
+        return self.tc.lr * (self.tc.lr_decay ** self.epoch)
+
+    def train_epoch(self, loader, put: Callable = None) -> Dict:
+        """One epoch over ``loader.epoch_batches()``.  ``put``: optional
+        device/sharding placement for batches (parallel.make_batch_put)."""
+        t_start = time.time()
+        frames = 0
+        losses = []
+        lr = jnp.float32(self.current_lr())
+        for batch in loader.epoch_batches(self.epoch):
+            jb = {k: jnp.asarray(v) for k, v in batch.items()
+                  if k in ("feats", "labels", "lengths")}
+            if put is not None:
+                jb = put(jb)
+            self.params, self.opt_state, self.avg_params, m = self.step_fn(
+                self.params, self.opt_state, self.avg_params, jb, lr)
+            self.step += 1
+            losses.append(float(m["loss"]))
+            frames += int(m["frames"])
+            if self.step % self.tc.log_every == 0:
+                self.logger.log("train_step", step=self.step,
+                                epoch=self.epoch, loss=float(m["loss"]),
+                                grad_norm=float(m["grad_norm"]),
+                                mean_logZ=float(m["mean_logZ"]))
+        wall = time.time() - t_start
+        audio_s = frames * self.tc.frame_shift_s
+        out = {"epoch": self.epoch, "mean_loss": float(np.mean(losses)),
+               "frames": frames, "wall_s": wall,
+               "audio_s_per_s": audio_s / max(wall, 1e-9)}
+        self.logger.log("train_epoch", **out)
+        if self.tc.out_dir:
+            os.makedirs(self.tc.out_dir, exist_ok=True)
+            # reference-style per-epoch flat weight file
+            weights_mod.save_raw(
+                os.path.join(self.tc.out_dir, f"weights.i{self.epoch}.dat"),
+                self.cfg.fmap, self.params)
+        self.epoch += 1
+        return out
+
+    def evaluate(self, loader, ref_phone_seqs: Optional[dict] = None,
+                 fold: Optional[np.ndarray] = None) -> Dict:
+        """CV pass: mean loss, frame accuracy, and (if references given)
+        PER.  ``ref_phone_seqs``: uid -> phone sequence."""
+        losses, correct, valid = [], 0, 0
+        scorer = ErrorRateScorer()
+        for batch in loader.epoch_batches(0):
+            jb = {k: jnp.asarray(v) for k, v in batch.items()
+                  if k in ("feats", "labels", "lengths")}
+            m = self.eval_fn(self.params, jb)
+            losses.append(float(m["loss"]))
+            correct += int(m["correct"])
+            valid += int(m["valid"])
+            if ref_phone_seqs is not None:
+                refs = [ref_phone_seqs.get(int(u)) for u in batch["uids"]]
+                score_batch(scorer, refs, np.asarray(m["phones"]),
+                            batch["lengths"], fold=fold)
+        out = {"cv_loss": float(np.mean(losses)) if losses else float("nan"),
+               "frame_accuracy": correct / max(valid, 1)}
+        if ref_phone_seqs is not None:
+            out["per"] = scorer.error_rate
+            out.update({f"per_{k}": v for k, v in scorer.summary().items()
+                        if k in ("sub", "ins", "del")})
+        self.logger.log("eval", epoch=self.epoch, **out)
+        return out
+
+    def fit(self, train_loader, cv_loader=None, ref_phone_seqs=None,
+            fold=None, put=None) -> Dict:
+        last = {}
+        for _ in range(self.tc.epochs):
+            last = self.train_epoch(train_loader, put=put)
+            if cv_loader is not None:
+                last.update(self.evaluate(cv_loader, ref_phone_seqs, fold))
+        return last
+
+    @property
+    def inference_params(self) -> dict:
+        return self.avg_params if self.tc.weight_avg else self.params
