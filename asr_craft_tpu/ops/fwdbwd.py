@@ -72,6 +72,11 @@ def forward(log_phi_state, log_phi_trans, length, semiring: Semiring | str = LOG
     T, L = log_phi_state.shape
     trans = broadcast_trans(log_phi_trans, T)
 
+    # remat: without it autodiff saves the per-step (L, L) candidate tensor,
+    # an O(T*L^2) residual that OOMs HBM at production shapes; recomputing
+    # the elementwise semiring ops in the backward pass is far cheaper than
+    # storing them (SURVEY.md §5 long-context notes).
+    @jax.checkpoint
     def step(carry, inp):
         t, state_t, trans_t = inp
         new = matvec(sr, trans_t, carry) + state_t
@@ -97,6 +102,7 @@ def backward(log_phi_state, log_phi_trans, length, semiring: Semiring | str = LO
     T, L = log_phi_state.shape
     trans = broadcast_trans(log_phi_trans, T)
 
+    @jax.checkpoint
     def step(carry, inp):
         t, state_next, trans_next = inp  # potentials of frame t+1
         # out[l] = sum_l' trans[t+1][l, l'] + (state[t+1] + beta[t+1])[l']

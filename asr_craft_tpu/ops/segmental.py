@@ -42,6 +42,7 @@ def _alpha_scan(seg_score, trans, length, sr, with_argmax: bool):
     T, Dmax, L = seg_score.shape
     ds = jnp.arange(Dmax)
 
+    @jax.checkpoint
     def step(buf, inp):
         # buf[i] = alpha[t - 1 - i]; rows past the start of time are -inf.
         t, seg_t = inp

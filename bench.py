@@ -1,0 +1,99 @@
+"""Benchmark: audio-seconds of speech processed per second per chip.
+
+North-star metric (BASELINE.json): audio-seconds/s/chip for forward-backward
+training (loss + grad + update) on the flagship triphone-state CRF, plus
+Viterbi decode throughput as a secondary line.
+
+No published reference numbers exist (BASELINE.md provenance); the recorded
+baseline is this framework's own round-1 pure-lax.scan number on one TPU v5e
+chip (36 ms/step at B=64 T=512 L=48x3 D=144), so ``vs_baseline`` tracks
+self-improvement across rounds.
+
+Timing note: ``block_until_ready`` is unreliable over this environment's
+remote-TPU tunnel (returns before completion), so every timed region ends
+with a host-side ``float()`` fetch of a value data-dependent on the whole
+step chain.
+
+Prints ONE JSON line (last): {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+# Round-1 self-baseline (lax.scan path, TPU v5e, B=64 T=512 48x3 states).
+BASELINE_AUDIO_S_PER_S = 9100.0
+
+B, T = 64, 512
+FRAME_S = 0.01  # 10 ms frames
+
+
+def bench_train_step(steps=30, warmup=3):
+    import jax.numpy as jnp
+    from __graft_entry__ import _flagship, _tiny_batch
+    from asr_craft_tpu.train import TrainConfig, make_train_step
+
+    cfg = _flagship()
+    tc = TrainConfig(lr=0.1)
+    params = cfg.init_params(scale=0.01)
+    step_fn, opt = make_train_step(cfg, tc)
+    opt_state = opt.init(params)
+    avg = params
+    batch = _tiny_batch(cfg, B=B, T=T)
+    lr = jnp.float32(tc.lr)
+
+    for _ in range(warmup):
+        params, opt_state, avg, m = step_fn(params, opt_state, avg, batch, lr)
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        params, opt_state, avg, m = step_fn(params, opt_state, avg, batch, lr)
+    float(m["loss"])  # host fetch: forces the full dependency chain
+    dt = (time.perf_counter() - t0) / steps
+    return B * T * FRAME_S / dt
+
+
+def bench_decode(steps=30, warmup=3):
+    import jax
+    from __graft_entry__ import _flagship, _tiny_batch
+    from asr_craft_tpu.models.crf import decode
+
+    cfg = _flagship()
+    params = cfg.init_params(scale=0.01)
+    batch = _tiny_batch(cfg, B=B, T=T)
+
+    # chain steps through the feats so the timed loop is data-dependent
+    @jax.jit
+    def step(p, feats, lengths):
+        phones, _, scores = decode(cfg, p, feats, lengths)
+        return feats + 0.0 * scores[:, None, None], phones
+
+    feats = batch["feats"]
+    for _ in range(warmup):
+        feats, phones = step(params, feats, batch["lengths"])
+    float(feats[0, 0, 0])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        feats, phones = step(params, feats, batch["lengths"])
+    float(feats[0, 0, 0])
+    dt = (time.perf_counter() - t0) / steps
+    return B * T * FRAME_S / dt
+
+
+def main():
+    train_tput = bench_train_step()
+    decode_tput = bench_decode()
+    print(json.dumps({"aux": {"decode_audio_s_per_s": round(decode_tput, 1),
+                              "B": B, "T": T}}))
+    print(json.dumps({
+        "metric": "train_audio_s_per_s_per_chip",
+        "value": round(train_tput, 1),
+        "unit": "audio-seconds/s/chip",
+        "vs_baseline": round(train_tput / BASELINE_AUDIO_S_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
