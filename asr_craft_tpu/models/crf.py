@@ -28,8 +28,17 @@ from asr_craft_tpu.models.feature_map import (FeatureMapConfig,
                                               dense_potentials,
                                               sparse_potentials)
 from asr_craft_tpu.models.topology import Topology
-from asr_craft_tpu.ops import fwdbwd
+from asr_craft_tpu.ops import fwdbwd, mxu
 from asr_craft_tpu.ops.viterbi import viterbi_batch
+
+
+def _log_partition(state, trans, lengths):
+    """Dispatch: MXU-native matmul formulation for shared (L, L) transitions
+    (with its classical-forward-backward custom VJP); generic scan for
+    frame-dependent transitions."""
+    if trans.ndim == 2:
+        return mxu.log_partition_mxu(state, trans, lengths)
+    return fwdbwd.log_partition_batch(state, trans, lengths)
 from asr_craft_tpu.ops.semiring import NEG_INF
 
 
@@ -120,14 +129,14 @@ def crf_loss(cfg: CrfConfig, params, feats, labels, lengths, sparse=None,
     """
     state, trans = potentials(cfg, params, feats, sparse)
     state = apply_boundaries(cfg, state, lengths)
-    logZ = fwdbwd.log_partition_batch(state, trans, lengths)
+    logZ = _log_partition(state, trans, lengths)
 
     if label_kind == "state":
         states = jnp.arange(cfg.topology.num_expanded)
         clamp = jnp.where(labels[..., None] == states, 0.0, NEG_INF)
     else:
         clamp = cfg.topology.clamp_mask(labels)
-    num = fwdbwd.log_partition_batch(state + clamp, trans, lengths)
+    num = _log_partition(state + clamp, trans, lengths)
 
     nll = logZ - num                               # (B,)
     total_frames = jnp.maximum(jnp.sum(lengths), 1)
@@ -152,6 +161,8 @@ def frame_posteriors(cfg: CrfConfig, params, feats, lengths, sparse=None):
     """(B, T, L') label posteriors — the parity tensor surface."""
     state, trans = potentials(cfg, params, feats, sparse)
     state = apply_boundaries(cfg, state, lengths)
+    if trans.ndim == 2:
+        return mxu.posteriors_mxu(state, trans, lengths)
     return fwdbwd.posteriors_batch(state, trans, lengths)
 
 
