@@ -1,0 +1,31 @@
+"""Pallas TPU kernels for the DP hot loops (SURVEY.md §7.1 step 6).
+
+Kernel implementations are selected by :func:`backend`: "pallas" on TPU,
+"xla" (the lax.scan MXU path) elsewhere; override with set_backend().
+"""
+from __future__ import annotations
+
+import jax
+
+_BACKEND = "auto"
+
+
+def set_backend(name: str) -> None:
+    """"auto" | "pallas" | "xla"."""
+    global _BACKEND
+    if name not in ("auto", "pallas", "xla"):
+        raise ValueError(name)
+    _BACKEND = name
+
+
+def backend() -> str:
+    if _BACKEND != "auto":
+        return _BACKEND
+    try:
+        return "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+    except Exception:  # pragma: no cover
+        return "xla"
+
+
+from asr_craft_tpu.kernels.fwdbwd_pallas import (backward_pallas,
+                                                 forward_pallas)

@@ -103,12 +103,33 @@ def _backward_scan(state, Pt, tmax_r, lengths):
     return jnp.concatenate([rest, init[None]], axis=0)   # (T, B, L)
 
 
+def _forward_any(state, trans, lengths):
+    """Backend-dispatched alpha pass: Pallas kernel on TPU, lax.scan
+    elsewhere.  Returns time-major (alphas (T, B, L), logZ (B,))."""
+    from asr_craft_tpu import kernels
+    if kernels.backend() == "pallas":
+        return kernels.forward_pallas(jnp.moveaxis(state, 1, 0), trans,
+                                      lengths)
+    tmax = jnp.maximum(jnp.max(trans, axis=0), NEG_INF)
+    P = jnp.exp(trans - tmax[None, :])
+    return _forward_scan(state, P, tmax, lengths)
+
+
+def _backward_any(state, trans, lengths):
+    """Backend-dispatched beta pass.  Returns betas (T, B, L)."""
+    from asr_craft_tpu import kernels
+    if kernels.backend() == "pallas":
+        return kernels.backward_pallas(jnp.moveaxis(state, 1, 0), trans,
+                                       lengths)
+    tmax_r = jnp.maximum(jnp.max(trans, axis=1), NEG_INF)
+    Pt = jnp.exp(trans.T - tmax_r[None, :])
+    return _backward_scan(state, Pt, tmax_r, lengths)
+
+
 def forward_mxu(state, trans, lengths):
     """Batched alpha pass. ``state``: (B, T, L); ``trans``: (L, L).
     Returns (alphas (B, T, L), logZ (B,))."""
-    tmax = jnp.maximum(jnp.max(trans, axis=0), NEG_INF)
-    P = jnp.exp(trans - tmax[None, :])
-    alphas, logZ = _forward_scan(state, P, tmax, lengths)
+    alphas, logZ = _forward_any(state, trans, lengths)
     return jnp.moveaxis(alphas, 0, 1), logZ
 
 
@@ -120,18 +141,14 @@ def log_partition_mxu(state, trans, lengths):
 
 
 def _lp_fwd(state, trans, lengths):
-    tmax = jnp.maximum(jnp.max(trans, axis=0), NEG_INF)
-    P = jnp.exp(trans - tmax[None, :])
-    alphas, logZ = _forward_scan(state, P, tmax, lengths)
+    alphas, logZ = _forward_any(state, trans, lengths)
     return logZ, (state, trans, alphas, logZ, lengths)
 
 
 def _lp_bwd(res, g):
     state, trans, alphas, logZ, lengths = res
     B, T, L = state.shape
-    tmax_r = jnp.maximum(jnp.max(trans, axis=1), NEG_INF)
-    Pt = jnp.exp(trans.T - tmax_r[None, :])
-    betas = _backward_scan(state, Pt, tmax_r, lengths)      # (T, B, L)
+    betas = _backward_any(state, trans, lengths)            # (T, B, L)
 
     ts = jnp.arange(T)
     valid = (ts[:, None] < lengths[None, :])                # (T, B)
@@ -171,12 +188,8 @@ log_partition_mxu.defvjp(_lp_fwd, _lp_bwd)
 
 def posteriors_mxu(state, trans, lengths):
     """(B, T, L) gamma — parity surface for tests/benchmarks."""
-    tmax = jnp.maximum(jnp.max(trans, axis=0), NEG_INF)
-    P = jnp.exp(trans - tmax[None, :])
-    alphas, logZ = _forward_scan(state, P, tmax, lengths)
-    tmax_r = jnp.maximum(jnp.max(trans, axis=1), NEG_INF)
-    Pt = jnp.exp(trans.T - tmax_r[None, :])
-    betas = _backward_scan(state, Pt, tmax_r, lengths)
+    alphas, logZ = _forward_any(state, trans, lengths)
+    betas = _backward_any(state, trans, lengths)
     gamma = jnp.exp(alphas + betas - logZ[None, :, None])
     T = state.shape[1]
     valid = (jnp.arange(T)[:, None] < lengths[None, :])
