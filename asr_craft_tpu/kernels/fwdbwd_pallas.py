@@ -28,23 +28,31 @@ from asr_craft_tpu.ops.semiring import NEG_INF
 
 _LANE = 128
 _SUBLANE = 8
+# Frames per grid step: amortizes per-step pipeline overhead (512 one-frame
+# steps were overhead-bound); bounded by VMEM (block bytes ~ TBLOCK*B*L*4 x2
+# buffers x in+out).
+_TBLOCK = 8
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def pad_tbl(state_tm, trans, lengths):
-    """Pad (T, B, L) / (L, L) / (B,) to hardware tiles."""
+def pad_tbl(state_tm, trans, lengths, tblock: int = 1):
+    """Pad (T, B, L) / (L, L) / (B,) to hardware tiles (and T to a multiple
+    of ``tblock``; padded frames exceed every length, so the masking makes
+    them inert)."""
     T, B, L = state_tm.shape
+    Tp = _round_up(T, tblock)
     Bp, Lp = _round_up(B, _SUBLANE), _round_up(L, _LANE)
-    if (Bp, Lp) != (B, L):
-        state_tm = jnp.pad(state_tm, ((0, 0), (0, Bp - B), (0, Lp - L)),
+    if (Tp, Bp, Lp) != (T, B, L):
+        state_tm = jnp.pad(state_tm,
+                           ((0, Tp - T), (0, Bp - B), (0, Lp - L)),
                            constant_values=NEG_INF)
         trans = jnp.pad(trans, ((0, Lp - L), (0, Lp - L)),
                         constant_values=NEG_INF)
         lengths = jnp.pad(lengths, (0, Bp - B), constant_values=1)
-    return state_tm, trans, lengths, B, L
+    return state_tm, trans, lengths, T, B, L
 
 
 def _lse_rows(x):
@@ -55,25 +63,31 @@ def _lse_rows(x):
 
 def _fwd_kernel(len_ref, state_ref, P_ref, tmax_ref,
                 alphas_ref, logZ_ref, carry):
-    t = pl.program_id(0)
-    state_t = state_ref[0]                             # (B, L)
+    i = pl.program_id(0)
 
-    @pl.when(t == 0)
-    def _():
-        carry[:] = state_t
+    def frame(k, _):
+        t = i * _TBLOCK + k
+        state_t = state_ref[k]                         # (B, L)
 
-    @pl.when(t > 0)
-    def _():
-        alpha = carry[:]
-        m = jnp.maximum(jnp.max(alpha, axis=-1, keepdims=True), NEG_INF)
-        prod = jnp.dot(jnp.exp(alpha - m), P_ref[:],
-                       preferred_element_type=jnp.float32)
-        new = (m + tmax_ref[0:1, :] + jnp.log(jnp.maximum(prod, 1e-38))
-               + state_t)
-        valid = len_ref[:, 0:1] > t                    # (B, 1)
-        carry[:] = jnp.where(valid, new, alpha)
+        @pl.when(t == 0)
+        def _():
+            carry[:] = state_t
 
-    alphas_ref[0] = carry[:]
+        @pl.when(t > 0)
+        def _():
+            alpha = carry[:]
+            m = jnp.maximum(jnp.max(alpha, axis=-1, keepdims=True), NEG_INF)
+            prod = jnp.dot(jnp.exp(alpha - m), P_ref[:],
+                           preferred_element_type=jnp.float32)
+            new = (m + tmax_ref[0:1, :]
+                   + jnp.log(jnp.maximum(prod, 1e-38)) + state_t)
+            valid = len_ref[:, 0:1] > t                # (B, 1)
+            carry[:] = jnp.where(valid, new, alpha)
+
+        alphas_ref[k] = carry[:]
+        return 0
+
+    jax.lax.fori_loop(0, _TBLOCK, frame, 0, unroll=True)
     logZ_ref[:] = jnp.broadcast_to(_lse_rows(carry[:]), logZ_ref.shape)
 
 
@@ -82,7 +96,8 @@ def forward_pallas(state_tm, trans, lengths, interpret: bool = False):
     """Fused alpha pass, time-major.  ``state_tm``: (T, B, L) f32,
     ``trans``: (L, L), ``lengths``: (B,).
     Returns (alphas (T, B, L), logZ (B,))."""
-    state_tm, trans, lengths, B0, L0 = pad_tbl(state_tm, trans, lengths)
+    state_tm, trans, lengths, T0, B0, L0 = pad_tbl(state_tm, trans, lengths,
+                                                   _TBLOCK)
     T, B, L = state_tm.shape
     tmax = jnp.maximum(jnp.max(trans, axis=0), NEG_INF)
     P = jnp.exp(trans - tmax[None, :])
@@ -91,20 +106,20 @@ def forward_pallas(state_tm, trans, lengths, interpret: bool = False):
 
     alphas, logZ = pl.pallas_call(
         _fwd_kernel,
-        grid=(T,),
+        grid=(T // _TBLOCK,),
         in_specs=[
-            pl.BlockSpec((B, _LANE), lambda t: (0, 0),
+            pl.BlockSpec((B, _LANE), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, L), lambda t: (t, 0, 0),
+            pl.BlockSpec((_TBLOCK, B, L), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, L), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_SUBLANE, L), lambda t: (0, 0),
+            pl.BlockSpec((L, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_SUBLANE, L), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, B, L), lambda t: (t, 0, 0),
+            pl.BlockSpec((_TBLOCK, B, L), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, _LANE), lambda t: (0, 0),
+            pl.BlockSpec((B, _LANE), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -114,63 +129,75 @@ def forward_pallas(state_tm, trans, lengths, interpret: bool = False):
         scratch_shapes=[pltpu.VMEM((B, L), jnp.float32)],
         interpret=interpret,
     )(len2d, state_tm, P, tmax8)
-    return alphas[:, :B0, :L0], logZ[:B0, 0]
+    return alphas[:T0, :B0, :L0], logZ[:B0, 0]
 
 
-def _bwd_kernel(len_ref, state_ref, Pt_ref, tmaxr_ref, betas_ref, carry):
+def _bwd_kernel(len_ref, cur_ref, nxt_ref, Pt_ref, tmaxr_ref,
+                betas_ref, carry):
+    # Grid step i handles the i-th time-block from the END; frames inside
+    # are processed high -> low.  beta[t] needs state at t+1, which for the
+    # block's last frame lives in the NEXT time-block (nxt_ref).
     i = pl.program_id(0)
-    T = pl.num_programs(0)
-    t = T - 1 - i                                      # frame being written
+    nb = pl.num_programs(0)
+    base = (nb - 1 - i) * _TBLOCK
 
-    @pl.when(i == 0)
-    def _():
-        carry[:] = jnp.zeros_like(carry)
-
-    @pl.when(i > 0)
-    def _():
+    def frame(j, _):
+        k = _TBLOCK - 1 - j
+        t = base + k
+        state_next = jnp.where(
+            k == _TBLOCK - 1, nxt_ref[0],
+            cur_ref[jnp.minimum(k + 1, _TBLOCK - 1)])
         beta = carry[:]
-        x = beta + state_ref[0]                        # state at frame t+1
+        x = beta + state_next
         m = jnp.maximum(jnp.max(x, axis=-1, keepdims=True), NEG_INF)
         prod = jnp.dot(jnp.exp(x - m), Pt_ref[:],
                        preferred_element_type=jnp.float32)
         new = m + tmaxr_ref[0:1, :] + jnp.log(jnp.maximum(prod, 1e-38))
         valid = len_ref[:, 0:1] > t + 1
         carry[:] = jnp.where(valid, new, jnp.zeros_like(new))
+        betas_ref[k] = carry[:]
+        return 0
 
-    betas_ref[0] = carry[:]
+    @pl.when(i == 0)
+    def _():
+        carry[:] = jnp.zeros_like(carry)
+
+    jax.lax.fori_loop(0, _TBLOCK, frame, 0, unroll=True)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def backward_pallas(state_tm, trans, lengths, interpret: bool = False):
     """Fused beta pass, time-major.  Returns betas (T, B, L)."""
-    state_tm, trans, lengths, B0, L0 = pad_tbl(state_tm, trans, lengths)
+    state_tm, trans, lengths, T0, B0, L0 = pad_tbl(state_tm, trans, lengths,
+                                                   _TBLOCK)
     T, B, L = state_tm.shape
+    nb = T // _TBLOCK
     tmax_r = jnp.maximum(jnp.max(trans, axis=1), NEG_INF)
     Pt = jnp.exp(trans.T - tmax_r[None, :])
     tmaxr8 = jnp.broadcast_to(tmax_r[None, :], (_SUBLANE, L))
     len2d = jnp.broadcast_to(lengths[:, None].astype(jnp.int32), (B, _LANE))
 
-    # Step i writes frame t = T-1-i and reads state at frame t+1 = T-i
-    # (clamped to T-1 for i == 0, where it is unused).
     [betas] = pl.pallas_call(
         _bwd_kernel,
-        grid=(T,),
+        grid=(nb,),
         in_specs=[
             pl.BlockSpec((B, _LANE), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, L),
-                         lambda i: (jnp.where(i == 0, T - 1, T - i), 0, 0),
+            pl.BlockSpec((_TBLOCK, B, L), lambda i: (nb - 1 - i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TBLOCK, B, L),
+                         lambda i: (jnp.minimum(nb - i, nb - 1), 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((L, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((_SUBLANE, L), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, B, L), lambda i: (T - 1 - i, 0, 0),
+            pl.BlockSpec((_TBLOCK, B, L), lambda i: (nb - 1 - i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[jax.ShapeDtypeStruct((T, B, L), jnp.float32)],
         scratch_shapes=[pltpu.VMEM((B, L), jnp.float32)],
         interpret=interpret,
-    )(len2d, state_tm, Pt, tmaxr8)
-    return betas[:, :B0, :L0]
+    )(len2d, state_tm, state_tm, Pt, tmaxr8)
+    return betas[:T0, :B0, :L0]

@@ -138,7 +138,8 @@ def crf_loss(cfg: CrfConfig, params, feats, labels, lengths, sparse=None,
         clamp = cfg.topology.clamp_mask(labels)
     num = _log_partition(state + clamp, trans, lengths)
 
-    nll = logZ - num                               # (B,)
+    # empty rows (length 0: loader batch padding) are inert
+    nll = jnp.where(lengths > 0, logZ - num, 0.0)  # (B,)
     total_frames = jnp.maximum(jnp.sum(lengths), 1)
     loss = jnp.sum(nll) / total_frames
     return loss, {"logZ": logZ, "numerator": num, "nll": nll,
@@ -146,14 +147,31 @@ def crf_loss(cfg: CrfConfig, params, feats, labels, lengths, sparse=None,
 
 
 def decode(cfg: CrfConfig, params, feats, lengths, sparse=None,
-           beam_width: Optional[int] = None):
+           beam_width: Optional[int] = None,
+           beam_threshold: Optional[float] = None):
     """Batched Viterbi over expanded states, collapsed to per-frame phones.
+
+    Beam options (both None = exact search, the parity fallback):
+    - ``beam_width``: top-k max-active pruning (XLA path).
+    - ``beam_threshold``: score-margin pruning (Pallas kernel path) — the
+      reference ``CRF_ViterbiDecoder``'s beam semantics.
 
     Returns (phone_frames (B, T), state_paths (B, T), scores (B,)).
     """
+    from asr_craft_tpu import kernels
     state, trans = potentials(cfg, params, feats, sparse)
     state = apply_boundaries(cfg, state, lengths)
-    paths, scores = viterbi_batch(state, trans, lengths, beam_width)
+    if (trans.ndim == 2 and beam_width is None
+            and kernels.backend() == "pallas"):
+        paths, scores = kernels.viterbi_pallas(
+            jnp.moveaxis(state, 1, 0), trans, lengths,
+            beam_threshold=beam_threshold)
+    else:
+        if beam_threshold is not None:
+            raise NotImplementedError(
+                "beam_threshold requires the Pallas backend; "
+                "use beam_width on the XLA path")
+        paths, scores = viterbi_batch(state, trans, lengths, beam_width)
     return cfg.topology.path_to_phones(paths), paths, scores
 
 

@@ -1,0 +1,213 @@
+"""Time-axis sharding of the DP recursions (lattice-sharded decode).
+
+BASELINE requires decode sharded along time with "beam/lattice pruning state
+exchanged via collectives"; the reference has no analogue (single process).
+The algorithmic basis is the associativity of the semiring matrix product
+(Hassan et al., "Temporal Parallelization of Inference in HMMs" — PAPERS.md):
+with per-frame transfer matrices
+
+    M_0[p, l] = state[0][l] if p == 0 else -inf        (virtual start)
+    M_t[p, l] = trans[p, l] + state[t][l]              (1 <= t < length)
+    M_t       = semiring identity                      (t >= length: padding)
+
+the alpha recursion is the prefix product ``e_0 (x) M_0 (x) ... (x) M_t``.
+Each time-shard:
+
+1. reduces its local chunk to one (B, L, L) transfer-matrix product
+   (sequential local scan of semiring matmuls),
+2. ``all_gather``s the per-shard products over the "time" mesh axis and
+   (redundantly, they are small) prefix-multiplies them into its chunk's
+   boundary alpha — this is the collective boundary exchange,
+3. re-runs the cheap local *vector* recursion from the boundary alpha to
+   materialize its shard of alphas / Viterbi deltas.
+
+logZ falls out of step 2 alone (the full product), replicated on all shards.
+Viterbi traceback is inherently sequential right-to-left; labels cross shard
+boundaries through a ``ppermute`` chain of (B,) messages (cheap).
+
+Honest scaling note: step 1 costs O(T/N * L^3) per shard versus the
+unsharded O(T * L^2) vector scan, so time-sharding wins on wall-clock only
+for N comparable to L, very long T (memory), or heavily beam-pruned
+effective label sets; it is provided for capability parity and long-form
+decode, with exactness verified against the unsharded path.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from asr_craft_tpu.ops.semiring import (LOG, NEG_INF, TROPICAL, get_semiring,
+                                        matvec)
+
+__all__ = ["time_mesh", "sharded_log_partition", "sharded_viterbi"]
+
+
+def time_mesh(n_devices: Optional[int] = None) -> Mesh:
+    import numpy as np
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), ("time",))
+
+
+def _local_chunk_product(state_loc, trans, lengths, offset, sr):
+    """Reduce a local chunk to one (B, L, L) semiring transfer matrix."""
+    B, Tl, L = state_loc.shape
+    eye = jnp.where(jnp.eye(L, dtype=bool), 0.0, NEG_INF).astype(state_loc.dtype)
+    e0_mat = jnp.full((L, L), NEG_INF, state_loc.dtype)
+
+    def step(prod, inp):
+        g, state_t = inp                       # global frame index, (B, L)
+        # M_t rows: (B, L, L)
+        M = trans[None, :, :] + state_t[:, None, :]
+        M0 = jnp.where(
+            (jnp.arange(L) == 0)[:, None], state_t[:, None, :], NEG_INF)
+        M = jnp.where(g == 0, M0, M)
+        # prod (x) M : out[b, i, l] = sr.sum_k prod[b, i, k] + M[b, k, l]
+        new = sr.sum(prod[:, :, :, None] + M[:, None, :, :], axis=2)
+        new = jnp.where((g < lengths)[:, None, None], new, prod)
+        return new, None
+
+    init = jnp.broadcast_to(eye, (B, L, L))
+    gs = offset + jnp.arange(Tl)
+    prod, _ = jax.lax.scan(step, init, (gs, jnp.moveaxis(state_loc, 1, 0)))
+    return prod
+
+
+def _local_vector_scan(state_loc, trans, lengths, offset, alpha_in, sr):
+    """Vector recursion over the local chunk from boundary alpha_in (B, L).
+    Returns (alphas_loc (B, Tl, L), alpha_out (B, L))."""
+    def step(alpha, inp):
+        g, state_t = inp
+        new = matvec_b(sr, trans, alpha) + state_t
+        new = jnp.where(g == 0, state_t, new)
+        new = jnp.where((g < lengths)[:, None], new, alpha)
+        return new, new
+
+    def matvec_b(sr, trans, vec):              # batched matvec
+        return sr.sum(vec[:, :, None] + trans[None, :, :], axis=1)
+
+    Tl = state_loc.shape[1]
+    gs = offset + jnp.arange(Tl)
+    alpha_out, alphas = jax.lax.scan(
+        step, alpha_in, (gs, jnp.moveaxis(state_loc, 1, 0)))
+    return jnp.moveaxis(alphas, 0, 1), alpha_out
+
+
+def _boundary_alphas(prods, my_idx, B, L, sr):
+    """prods: (N, B, L, L) per-shard products.  Returns (alpha_in (B, L) for
+    this shard, alpha_final (B, L) after all chunks)."""
+    N = prods.shape[0]
+    e0 = jnp.where(jnp.arange(L) == 0, 0.0, NEG_INF).astype(prods.dtype)
+    a = jnp.broadcast_to(e0, (B, L))
+
+    def body(j, carry):
+        a, mine = carry
+        mine = jnp.where(j == my_idx, a, mine)
+        a = sr.sum(a[:, :, None] + prods[j], axis=1)
+        return a, mine
+
+    a_final, a_mine = jax.lax.fori_loop(0, N, body, (a, a))
+    return a_mine, a_final
+
+
+def sharded_log_partition(state, trans, lengths, mesh: Mesh,
+                          semiring=LOG):
+    """logZ (log semiring) / best score (tropical) with the time axis of
+    ``state`` (B, T, L) sharded over mesh axis "time"."""
+    sr = get_semiring(semiring)
+    N = mesh.shape["time"]
+    B, T, L = state.shape
+
+    def fn(state_loc, trans, lengths):
+        idx = jax.lax.axis_index("time")
+        Tl = state_loc.shape[1]
+        offset = idx * Tl
+        prod = _local_chunk_product(state_loc, trans, lengths, offset, sr)
+        prods = jax.lax.all_gather(prod, "time")            # (N, B, L, L)
+        _, a_final = _boundary_alphas(prods, idx, state_loc.shape[0], L, sr)
+        return sr.sum(a_final, axis=-1)                     # (B,) replicated
+
+    return shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(None, "time", None), P(), P()),
+        out_specs=P(),
+        check_rep=False,
+    )(state, trans, lengths)
+
+
+def sharded_viterbi(state, trans, lengths, mesh: Mesh):
+    """Exact Viterbi with time sharding.  Returns (path (B, T), score (B,)).
+
+    Local deltas come from the tropical vector recursion off the boundary
+    alphas; the traceback chains labels right-to-left across shards via
+    ppermute (the "pruning state exchanged via collectives" of BASELINE)."""
+    sr = TROPICAL
+    N = mesh.shape["time"]
+    B, T, L = state.shape
+
+    def fn(state_loc, trans, lengths):
+        idx = jax.lax.axis_index("time")
+        Tl = state_loc.shape[1]
+        offset = idx * Tl
+        prod = _local_chunk_product(state_loc, trans, lengths, offset, sr)
+        prods = jax.lax.all_gather(prod, "time")
+        a_in, a_final = _boundary_alphas(prods, idx, B, L, sr)
+        deltas, _ = _local_vector_scan(state_loc, trans, lengths, offset,
+                                       a_in, sr)            # (B, Tl, L)
+        score = jnp.max(a_final, axis=-1)                   # replicated
+        last = jnp.argmax(a_final, axis=-1).astype(jnp.int32)
+
+        # Right-to-left traceback.  Label recursion:
+        #   lab[g] = last                                   for g >= length-1
+        #   lab[g] = argmax_p(delta[g][p] + trans[p, lab[g+1]])  otherwise
+        # The `last` clause resolves every frame at/after the end of the
+        # sequence, so a shard only needs one incoming value: the label at
+        # its right neighbour's first frame (lab_in).
+        def local_traceback(lab_in):
+            """Returns (path_loc (B, Tl), label at my first frame)."""
+            def step(lab_next, inp):
+                g, delta_t = inp
+                x = delta_t + trans[:, lab_next].T          # (B, L)
+                lab = jnp.where(g >= lengths - 1, last,
+                                jnp.argmax(x, axis=-1).astype(jnp.int32))
+                return lab, lab
+
+            gs = offset + jnp.arange(Tl)
+            deltas_tm = jnp.moveaxis(deltas, 1, 0)
+            lab_first, path_rev = jax.lax.scan(
+                step, lab_in, (gs, deltas_tm), reverse=True)
+            return jnp.moveaxis(path_rev, 0, 1), lab_first
+
+        # Sequential chain over shards, rightmost first; each active shard
+        # tracebacks its chunk and ppermutes its first-frame label left.
+        def chain(k, carry):
+            lab_in, path_loc = carry
+            shard = N - 1 - k
+            am_i = idx == shard
+            p_loc, lab_first = local_traceback(lab_in)
+            path_loc = jnp.where(am_i, p_loc, path_loc)
+            send = jnp.where(am_i, lab_first, lab_in)
+            lab_next = jax.lax.ppermute(
+                send, "time", [(j, (j - 1) % N) for j in range(N)])
+            return lab_next, path_loc
+
+        init = (jnp.zeros((B,), jnp.int32), jnp.zeros((B, Tl), jnp.int32))
+        _, path_loc = jax.lax.fori_loop(0, N, chain, init)
+        return path_loc, score, last
+
+    path, score, last = shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(None, "time", None), P(), P()),
+        out_specs=(P(None, "time"), P(), P()),
+        check_rep=False,
+    )(state, trans, lengths)
+    # padding region: repeat final label (contract of ops.viterbi)
+    Tidx = jnp.arange(T)[None, :]
+    path = jnp.where(Tidx < lengths[:, None], path, last[:, None])
+    return path, score

@@ -1,0 +1,80 @@
+"""Pallas Viterbi kernel (interpret mode) vs oracle and XLA path."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from asr_craft_tpu.kernels.viterbi_pallas import viterbi_pallas
+from asr_craft_tpu.ops import oracle
+from asr_craft_tpu.ops.viterbi import viterbi_batch
+
+
+def _problem(rng, B, T, L):
+    state = rng.normal(size=(B, T, L)).astype(np.float32)
+    trans = rng.normal(size=(L, L)).astype(np.float32)
+    lengths = rng.integers(1, T + 1, size=B).astype(np.int32)
+    lengths[0] = T
+    return state, trans, lengths
+
+
+@pytest.mark.parametrize("B,T,L", [(2, 6, 4), (3, 11, 48), (4, 9, 144)])
+def test_viterbi_kernel_matches_oracle(rng, B, T, L):
+    state, trans, lengths = _problem(rng, B, T, L)
+    path, score = viterbi_pallas(
+        jnp.moveaxis(jnp.asarray(state), 1, 0), jnp.asarray(trans),
+        jnp.asarray(lengths), interpret=True)
+    assert path.shape == (B, T)
+    for b in range(B):
+        ref_path, ref_score = oracle.viterbi_np(state[b], trans, lengths[b])
+        np.testing.assert_allclose(np.asarray(score)[b], ref_score,
+                                   rtol=5e-4, atol=5e-5)
+        np.testing.assert_array_equal(np.asarray(path)[b, :lengths[b]],
+                                      ref_path)
+
+
+def test_viterbi_kernel_matches_xla_path(rng):
+    B, T, L = 4, 13, 10
+    state, trans, lengths = _problem(rng, B, T, L)
+    s, t, n = jnp.asarray(state), jnp.asarray(trans), jnp.asarray(lengths)
+    p_ref, s_ref = viterbi_batch(s, t, n)
+    p_k, s_k = viterbi_pallas(jnp.moveaxis(s, 1, 0), t, n, interpret=True)
+    np.testing.assert_allclose(np.asarray(s_k), np.asarray(s_ref),
+                               rtol=1e-5, atol=1e-6)
+    for b in range(B):
+        np.testing.assert_array_equal(np.asarray(p_k)[b, :lengths[b]],
+                                      np.asarray(p_ref)[b, :lengths[b]])
+
+
+def test_viterbi_kernel_beam_threshold(rng):
+    """A huge threshold equals exact search; a tiny one still returns a
+    valid path (greedy-ish)."""
+    B, T, L = 2, 8, 6
+    state, trans, lengths = _problem(rng, B, T, L)
+    s_tm = jnp.moveaxis(jnp.asarray(state), 1, 0)
+    t, n = jnp.asarray(trans), jnp.asarray(lengths)
+    p_exact, s_exact = viterbi_pallas(s_tm, t, n, interpret=True)
+    p_wide, s_wide = viterbi_pallas(s_tm, t, n, beam_threshold=1e9,
+                                    interpret=True)
+    np.testing.assert_array_equal(np.asarray(p_exact), np.asarray(p_wide))
+    np.testing.assert_allclose(np.asarray(s_exact), np.asarray(s_wide))
+    p_narrow, s_narrow = viterbi_pallas(s_tm, t, n, beam_threshold=0.5,
+                                        interpret=True)
+    assert (np.asarray(s_narrow) <= np.asarray(s_exact) + 1e-5).all()
+    assert np.asarray(p_narrow).max() < L
+
+
+def test_viterbi_kernel_topology(rng):
+    from asr_craft_tpu.models.topology import Topology
+    topo = Topology(num_labels=3, num_states=2)
+    L = topo.num_expanded
+    state = rng.normal(size=(2, 10, L)).astype(np.float32)
+    trans = (rng.normal(size=(L, L)).astype(np.float32)
+             + topo.transition_penalty())
+    lengths = np.asarray([10, 7], np.int32)
+    path, score = viterbi_pallas(
+        jnp.moveaxis(jnp.asarray(state), 1, 0), jnp.asarray(trans),
+        jnp.asarray(lengths), interpret=True)
+    mask = topo.transition_mask()
+    p = np.asarray(path)
+    for b in range(2):
+        for t in range(1, int(lengths[b])):
+            assert mask[p[b, t - 1], p[b, t]]
