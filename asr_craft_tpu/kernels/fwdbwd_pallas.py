@@ -38,13 +38,14 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def pad_tbl(state_tm, trans, lengths, tblock: int = 1):
+def pad_tbl(state_tm, trans, lengths, tblock: int = 1,
+            bmult: int = _SUBLANE):
     """Pad (T, B, L) / (L, L) / (B,) to hardware tiles (and T to a multiple
-    of ``tblock``; padded frames exceed every length, so the masking makes
-    them inert)."""
+    of ``tblock``, B to a multiple of ``bmult``; padded frames exceed every
+    length, so the masking makes them inert)."""
     T, B, L = state_tm.shape
     Tp = _round_up(T, tblock)
-    Bp, Lp = _round_up(B, _SUBLANE), _round_up(L, _LANE)
+    Bp, Lp = _round_up(B, bmult), _round_up(L, _LANE)
     if (Tp, Bp, Lp) != (T, B, L):
         state_tm = jnp.pad(state_tm,
                            ((0, Tp - T), (0, Bp - B), (0, Lp - L)),

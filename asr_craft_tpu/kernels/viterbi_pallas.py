@@ -109,7 +109,7 @@ def viterbi_pallas(state_tm, trans, lengths, beam_threshold=None,
     Returns (path (B, T) int32, score (B,)).  Path entries at padded frames
     repeat the final label (inert for scoring)."""
     state_tm, trans, lengths, T0, B0, L0 = pad_tbl(state_tm, trans, lengths,
-                                                   _TBLOCK)
+                                                   _TBLOCK, bmult=_BTILE)
     T, B, L = state_tm.shape
     nb = T // _TBLOCK
     len2d = jnp.broadcast_to(lengths[:, None].astype(jnp.int32), (B, _LANE))
