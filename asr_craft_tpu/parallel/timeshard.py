@@ -137,7 +137,7 @@ def sharded_log_partition(state, trans, lengths, mesh: Mesh,
         fn, mesh=mesh,
         in_specs=(P(None, "time", None), P(), P()),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )(state, trans, lengths)
 
 
@@ -205,7 +205,7 @@ def sharded_viterbi(state, trans, lengths, mesh: Mesh):
         fn, mesh=mesh,
         in_specs=(P(None, "time", None), P(), P()),
         out_specs=(P(None, "time"), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )(state, trans, lengths)
     # padding region: repeat final label (contract of ops.viterbi)
     Tidx = jnp.arange(T)[None, :]

@@ -1,0 +1,72 @@
+"""Time-sharded (lattice-sharded) DP vs the unsharded path on the 8-device
+CPU mesh: logZ, Viterbi score and path must match exactly (SURVEY.md §7.3
+item 5 — shard-boundary correctness)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from asr_craft_tpu import ops
+from asr_craft_tpu.parallel.timeshard import (sharded_log_partition,
+                                              sharded_viterbi, time_mesh)
+
+
+def _problem(rng, B, T, L):
+    state = rng.normal(size=(B, T, L)).astype(np.float32)
+    trans = rng.normal(size=(L, L)).astype(np.float32)
+    lengths = rng.integers(1, T + 1, size=B).astype(np.int32)
+    lengths[0] = T
+    return (jnp.asarray(state), jnp.asarray(trans), jnp.asarray(lengths))
+
+
+@pytest.mark.parametrize("T", [16, 40])
+def test_sharded_logZ_matches_unsharded(rng, T):
+    B, L = 3, 5
+    state, trans, lengths = _problem(rng, B, T, L)
+    mesh = time_mesh(8)
+    logZ_sh = sharded_log_partition(state, trans, lengths, mesh)
+    logZ_ref = ops.log_partition_batch(state, trans, lengths)
+    np.testing.assert_allclose(np.asarray(logZ_sh), np.asarray(logZ_ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_tropical_score(rng):
+    B, T, L = 2, 24, 4
+    state, trans, lengths = _problem(rng, B, T, L)
+    mesh = time_mesh(8)
+    sc_sh = sharded_log_partition(state, trans, lengths, mesh,
+                                  semiring="tropical")
+    _, sc_ref = ops.viterbi_batch(state, trans, lengths)
+    np.testing.assert_allclose(np.asarray(sc_sh), np.asarray(sc_ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("T,n_dev", [(16, 8), (24, 4), (12, 2)])
+def test_sharded_viterbi_matches_unsharded(rng, T, n_dev):
+    B, L = 3, 5
+    state, trans, lengths = _problem(rng, B, T, L)
+    mesh = time_mesh(n_dev)
+    path_sh, score_sh = sharded_viterbi(state, trans, lengths, mesh)
+    path_ref, score_ref = ops.viterbi_batch(state, trans, lengths)
+    np.testing.assert_allclose(np.asarray(score_sh), np.asarray(score_ref),
+                               rtol=1e-5, atol=1e-6)
+    for b in range(B):
+        n = int(lengths[b])
+        np.testing.assert_array_equal(np.asarray(path_sh)[b, :n],
+                                      np.asarray(path_ref)[b, :n])
+
+
+def test_sharded_viterbi_short_lengths(rng):
+    """Sequences that end inside the first shard."""
+    B, T, L = 2, 16, 4
+    state = jnp.asarray(rng.normal(size=(B, T, L)), jnp.float32)
+    trans = jnp.asarray(rng.normal(size=(L, L)), jnp.float32)
+    lengths = jnp.asarray([1, 2], jnp.int32)
+    mesh = time_mesh(8)
+    path_sh, score_sh = sharded_viterbi(state, trans, lengths, mesh)
+    path_ref, score_ref = ops.viterbi_batch(state, trans, lengths)
+    np.testing.assert_allclose(np.asarray(score_sh), np.asarray(score_ref),
+                               rtol=1e-5)
+    for b in range(B):
+        n = int(lengths[b])
+        np.testing.assert_array_equal(np.asarray(path_sh)[b, :n],
+                                      np.asarray(path_ref)[b, :n])
