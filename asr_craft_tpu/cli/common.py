@@ -1,0 +1,115 @@
+"""Shared CLI plumbing: recipe loading, dotted overrides, data assembly.
+
+Replaces the reference's QuickNet ``QN_ArgEntry`` flag tables (SURVEY.md §5
+config system): flags keep QN-ish names (``--ftr1_file``, ``--crf_lr``,
+``--window_extent``...) for familiarity, while recipes are Python modules
+exposing ``get_config()`` (typed dataclasses, overridable with
+``--set train.lr=0.01``).
+"""
+from __future__ import annotations
+
+import dataclasses
+import importlib.util
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from asr_craft_tpu import data as data_mod
+from asr_craft_tpu.data import (LoaderConfig, Normalizer, UtteranceLoader,
+                                add_deltas, concat_streams, context_window,
+                                read_pfile, train_cv_split)
+
+
+def load_recipe(path: str) -> Dict[str, Any]:
+    spec = importlib.util.spec_from_file_location("recipe", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.get_config()
+
+
+def apply_overrides(cfg: Dict[str, Any], sets: List[str]) -> Dict[str, Any]:
+    """--set a.b=value overrides; values parsed as python literals."""
+    import ast
+    for s in sets:
+        key, _, val = s.partition("=")
+        try:
+            val = ast.literal_eval(val)
+        except (ValueError, SyntaxError):
+            pass  # keep string
+        parts = key.split(".")
+        node = cfg
+        for p in parts[:-1]:
+            node = node[p] if isinstance(node, dict) else getattr(node, p)
+        leaf = parts[-1]
+        if isinstance(node, dict):
+            node[leaf] = val
+        elif dataclasses.is_dataclass(node):
+            # frozen dataclasses: replace in parent
+            raise ValueError(
+                f"--set cannot mutate frozen dataclass field {key}; "
+                f"use dict-level keys in the recipe")
+        else:
+            setattr(node, leaf, val)
+    return cfg
+
+
+def build_corpus(args) -> Tuple[list, list, Optional[list]]:
+    """Features + frame labels from pfiles (ftr1/ftr2/ftr3 concatenated) or
+    a synthetic corpus.  Returns (features, labels, phone_seqs|None)."""
+    if getattr(args, "synthetic_utts", 0):
+        scfg = data_mod.SyntheticConfig(
+            num_labels=args.crf_label_size,
+            feat_dim=args.crf_label_size,
+            noise=getattr(args, "synthetic_noise", 0.4),
+            seed=getattr(args, "seed", 0),
+            min_dur=max(2, getattr(args, "crf_states", 1)),
+        )
+        feats, labels, phones = data_mod.generate_corpus(
+            scfg, args.synthetic_utts)
+        return feats, labels, phones
+
+    pf = read_pfile(args.ftr1_file)
+    feats, labels = list(pf.features), pf.labels
+    for extra in (getattr(args, "ftr2_file", None),
+                  getattr(args, "ftr3_file", None)):
+        if extra:
+            pf2 = read_pfile(extra)
+            feats = [concat_streams(a, b) for a, b in zip(feats, pf2.features)]
+    if getattr(args, "hardtarget_file", None):
+        labels = read_pfile(args.hardtarget_file).labels
+    if labels is not None:
+        labels = [l.astype(np.int32) for l in labels]
+    return feats, labels, None
+
+
+def make_transform(args, feats: list):
+    """Windowing / deltas / normalization pipeline (CRF_FeatureStream
+    duties), returns (transform fn, output feat dim)."""
+    steps = []
+    if getattr(args, "deltas_order", 0):
+        order = args.deltas_order
+        steps.append(lambda f: add_deltas(f, order=order))
+    if getattr(args, "window_extent", 0):
+        w = args.window_extent
+        steps.append(lambda f: context_window(f, w))
+    norm = None
+    if getattr(args, "normalize", "none") == "global":
+        probe = []
+        for f in feats[:200]:
+            x = f
+            for s in steps:
+                x = s(x)
+            probe.append(x)
+        norm = Normalizer.fit(probe)
+        steps.append(norm)
+    elif getattr(args, "normalize", "none") == "utt":
+        steps.append(Normalizer.per_utterance)
+
+    def transform(f):
+        for s in steps:
+            f = s(f)
+        return f
+
+    dim = transform(feats[0][:2]).shape[1]
+    return transform, dim

@@ -1,0 +1,130 @@
+"""``crf-decode``: the reference ``CRFFstDecode``/``CRFDecode`` CLI.
+
+Flow (SURVEY.md §3.2): flags -> corpus -> model (trained weight file) ->
+batched Viterbi (exact / beam) or FST lattice decode -> transcripts (MLF or
+text) -> PER against reference labels when available.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from asr_craft_tpu.cli.common import build_corpus, make_transform
+from asr_craft_tpu.data import LoaderConfig, UtteranceLoader, write_mlf
+from asr_craft_tpu.decode.scorer import (ErrorRateScorer, collapse_frames,
+                                         score_batch, timit_fold_indices)
+from asr_craft_tpu.models import weights as weights_mod
+from asr_craft_tpu.models.crf import CrfConfig, decode
+from asr_craft_tpu.utils.logging import MetricsLogger
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Decode with a trained CRF")
+    p.add_argument("--ftr1_file")
+    p.add_argument("--ftr2_file")
+    p.add_argument("--ftr3_file")
+    p.add_argument("--hardtarget_file")
+    p.add_argument("--window_extent", type=int, default=0)
+    p.add_argument("--deltas_order", type=int, default=0)
+    p.add_argument("--normalize", choices=["none", "global", "utt"],
+                   default="none")
+    p.add_argument("--synthetic_utts", type=int, default=0)
+    p.add_argument("--synthetic_noise", type=float, default=0.4)
+    p.add_argument("--crf_label_size", type=int, required=True)
+    p.add_argument("--crf_states", type=int, default=1)
+    p.add_argument("--crf_featuremap", default="dense")
+    p.add_argument("--crf_stateftr_start", type=int, default=None)
+    p.add_argument("--crf_stateftr_end", type=int, default=None)
+    p.add_argument("--crf_transftr_start", type=int, default=0)
+    p.add_argument("--crf_transftr_end", type=int, default=0)
+    p.add_argument("--weight_file", required=True)
+    p.add_argument("--beam_width", type=int, default=None,
+                   help="top-k pruning (None = exact)")
+    p.add_argument("--beam_threshold", type=float, default=None,
+                   help="score-margin pruning (Pallas path)")
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--bucket_sizes", default="128,256,512,1024,2048")
+    p.add_argument("--timit_fold", action="store_true",
+                   help="score with the 48->39 TIMIT folding")
+    p.add_argument("--phone_names", help="file with one phone name per line")
+    p.add_argument("--out_mlf", help="write hypotheses as an MLF")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (cpu/tpu)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    logger = MetricsLogger()
+
+    feats, labels, phone_seqs = build_corpus(args)
+    transform, feat_dim = make_transform(args, feats)
+    buckets = tuple(int(x) for x in args.bucket_sizes.split(","))
+    loader = UtteranceLoader(
+        feats, labels,
+        LoaderConfig(batch_size=args.batch_size, buckets=buckets,
+                     shuffle=False),
+        transform=transform)
+
+    state_rng = ((args.crf_stateftr_start, args.crf_stateftr_end)
+                 if args.crf_stateftr_start is not None else None)
+    cfg = CrfConfig(
+        num_labels=args.crf_label_size, feat_dim=feat_dim,
+        num_states=args.crf_states, featuremap=args.crf_featuremap,
+        state_range=state_rng,
+        trans_range=(args.crf_transftr_start, args.crf_transftr_end))
+    params = {k: jnp.asarray(v) for k, v in weights_mod.load_raw(
+        args.weight_file, cfg.fmap).items()}
+
+    names = None
+    if args.phone_names:
+        with open(args.phone_names) as f:
+            names = [ln.strip() for ln in f if ln.strip()]
+
+    fold = timit_fold_indices() if args.timit_fold else None
+    scorer = ErrorRateScorer()
+    hyp_mlf = {}
+    have_refs = labels is not None or phone_seqs is not None
+    for batch in loader.epoch_batches(0):
+        phones, _, scores = decode(
+            cfg, params, jnp.asarray(batch["feats"]),
+            jnp.asarray(batch["lengths"]),
+            beam_width=args.beam_width, beam_threshold=args.beam_threshold)
+        phones = np.asarray(phones)
+        if have_refs:
+            refs = []
+            for r, uid in enumerate(batch["uids"]):
+                if uid < 0:
+                    refs.append(None)
+                elif phone_seqs is not None:
+                    refs.append(phone_seqs[int(uid)])
+                else:
+                    refs.append(collapse_frames(
+                        labels[int(uid)], len(labels[int(uid)])))
+            score_batch(scorer, refs, phones, batch["lengths"], fold=fold)
+        for r, uid in enumerate(batch["uids"]):
+            if uid < 0:
+                continue
+            seq = collapse_frames(phones[r], int(batch["lengths"][r]))
+            segs = [(-1, -1, names[x] if names else str(x)) for x in seq]
+            hyp_mlf[f"utt{int(uid):06d}"] = segs
+
+    if args.out_mlf:
+        os.makedirs(os.path.dirname(args.out_mlf) or ".", exist_ok=True)
+        write_mlf(args.out_mlf, hyp_mlf)
+    if have_refs:
+        logger.log("decode_done", per=scorer.error_rate, **scorer.summary())
+    else:
+        logger.log("decode_done", utts=len(hyp_mlf))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,142 @@
+"""Segmental CRF (SCRF) model: segment potentials, loss, decode.
+
+Capability parity with the reference's segmental node stack
+(``CRF_StdSegStateNode*`` + segmental Viterbi decoders — SURVEY.md §2.1,
+§3.4): variable-duration segments scored from pooled frame features plus
+duration and label-bias features, with segment-level label transitions.
+
+TPU-first: the ``(B, T, Dmax, L)`` segment potential tensor is built with
+one frame-score matmul (MXU) followed by a cumulative-sum difference for
+segment pooling — O(B T L) memory for the frame scores and O(B T Dmax L)
+only for the final potentials; the DP lives in
+:mod:`asr_craft_tpu.ops.segmental`.
+
+The training numerator is the gold segmentation's score, derived *inside
+jit* from frame labels via run-length analysis (cummax of boundary
+positions) — no host-side segment extraction needed.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from asr_craft_tpu.ops import segmental as seg_ops
+from asr_craft_tpu.ops.semiring import NEG_INF
+
+
+@dataclasses.dataclass(frozen=True)
+class SegCrfConfig:
+    num_labels: int
+    feat_dim: int
+    max_dur: int = 8                  # Dmax; gold runs must be <= max_dur
+    pooling: str = "mean"             # "mean" | "sum" frame pooling
+    use_dur_feature: bool = True      # per-(duration, label) bias
+    use_seg_bias: bool = True         # per-label bias
+    precision: str = "highest"
+
+    def param_shapes(self) -> dict:
+        shapes = {"w_frame": (self.feat_dim, self.num_labels),
+                  "b_trans": (self.num_labels, self.num_labels)}
+        if self.use_dur_feature:
+            shapes["b_dur"] = (self.max_dur, self.num_labels)
+        if self.use_seg_bias:
+            shapes["b_seg"] = (self.num_labels,)
+        return shapes
+
+    def init_params(self, key=None, scale: float = 0.0) -> dict:
+        key = key if key is not None else jax.random.PRNGKey(0)
+        shapes = self.param_shapes()
+        keys = jax.random.split(key, len(shapes))
+        return {name: (scale * jax.random.normal(k, shape, jnp.float32)
+                       if scale else jnp.zeros(shape, jnp.float32))
+                for k, (name, shape) in zip(keys, sorted(shapes.items()))}
+
+
+def seg_potentials(cfg: SegCrfConfig, params, feats):
+    """feats (B, T, D) -> (seg_score (B, T, Dmax, L), trans (L, L)).
+
+    ``seg_score[b, t, d, l]``: pooled frame score of frames [t-d, t] plus
+    duration/label biases (entries with d > t are invalid — masked in the
+    DP, arbitrary here).
+    """
+    prec = None if cfg.precision == "default" else cfg.precision
+    frame = jnp.einsum("btd,dl->btl", feats, params["w_frame"],
+                       precision=prec, preferred_element_type=jnp.float32)
+    B, T, L = frame.shape
+    # segment sums via cumsum difference: sum(frames[t-d..t]) =
+    # cs[t+1] - cs[t-d], cs zero-padded at the front.
+    cs = jnp.cumsum(frame, axis=1)
+    cs = jnp.concatenate([jnp.zeros((B, 1, L), frame.dtype), cs], axis=1)
+    ds = jnp.arange(cfg.max_dur)
+    start = jnp.arange(T)[:, None] - ds[None, :]                 # (T, Dmax)
+    start_c = jnp.clip(start, 0, T)
+    seg_sum = cs[:, 1:][:, :, None, :] - cs[:, start_c]          # (B,T,Dmax,L)
+    if cfg.pooling == "mean":
+        seg = seg_sum / (ds + 1.0)[None, None, :, None]
+    else:
+        seg = seg_sum
+    if cfg.use_dur_feature:
+        seg = seg + params["b_dur"][None, None, :, :]
+    if cfg.use_seg_bias:
+        seg = seg + params["b_seg"][None, None, None, :]
+    return seg, params["b_trans"]
+
+
+def gold_segment_score(seg_score, trans, labels, length):
+    """Score of the gold segmentation (from frame labels) — the SCRF
+    numerator.  Single sequence: seg_score (T, Dmax, L), labels (T,).
+
+    Run-length analysis inside jit: a frame is a boundary when its label
+    differs from the previous frame's; run starts are the running max of
+    boundary positions; a frame is a run end when the next frame starts a
+    new run or the sequence ends.  Gold runs longer than Dmax contribute a
+    semiring zero (configs must set max_dur above the corpus maximum).
+    """
+    T, Dmax, L = seg_score.shape
+    ts = jnp.arange(T)
+    valid = ts < length
+    prev = jnp.concatenate([labels[:1] - 1, labels[:-1]])
+    boundary = (labels != prev) | (ts == 0)
+    run_start = jax.lax.associative_scan(jnp.maximum,
+                                         jnp.where(boundary, ts, 0))
+    nxt_new = jnp.concatenate([boundary[1:], jnp.ones((1,), bool)])
+    is_end = valid & (nxt_new | (ts == length - 1))
+    # clamp ends past length: frame length-1 is always an end
+    is_end = is_end & (ts <= length - 1)
+    dur = ts - run_start
+    seg_sc = seg_score[ts, jnp.clip(dur, 0, Dmax - 1), labels]
+    seg_sc = jnp.where(dur < Dmax, seg_sc, NEG_INF)
+    score = jnp.sum(jnp.where(is_end, seg_sc, 0.0))
+    tr = trans[prev, labels]
+    score += jnp.sum(jnp.where(boundary & (ts > 0) & valid, tr, 0.0))
+    return score
+
+
+def scrf_loss(cfg: SegCrfConfig, params, feats, labels, lengths):
+    """Mean negative segmental log-likelihood per frame (batched)."""
+    seg, trans = seg_potentials(cfg, params, feats)
+    _, logZ = seg_ops.segmental_forward_batch(seg, trans, lengths)
+    gold = jax.vmap(lambda s, l, n: gold_segment_score(s, trans, l, n))(
+        seg, labels, lengths)
+    nll = jnp.where(lengths > 0, logZ - gold, 0.0)
+    total = jnp.maximum(jnp.sum(lengths), 1)
+    return jnp.sum(nll) / total, {"logZ": logZ, "gold": gold, "nll": nll}
+
+
+def scrf_decode(cfg: SegCrfConfig, params, feats, lengths):
+    """Best segmentations.  Returns (starts, labels, n_segs, scores) with
+    fixed-size (B, T) segment arrays (see ops.segmental.segmental_viterbi)."""
+    seg, trans = seg_potentials(cfg, params, feats)
+    return seg_ops.segmental_viterbi_batch(seg, trans, lengths)
+
+
+def scrf_frame_labels(cfg: SegCrfConfig, params, feats, lengths):
+    """Decode and expand to per-frame labels (B, T) for frame metrics."""
+    starts, labs, n, scores = scrf_decode(cfg, params, feats, lengths)
+    T = feats.shape[1]
+    frames = jax.vmap(lambda s, l, k, ln: seg_ops.segments_to_frames(
+        s, l, k, ln, T))(starts, labs, n, lengths)
+    return frames, scores

@@ -1,0 +1,45 @@
+"""Recipe 5 (BASELINE config 5): Switchboard-scale multi-host data-parallel
+CRF training with lattice-sharded decode.
+
+Scale knobs: 46 phones x 3 states, wide windows, large batches; the data
+loader shards utterances by host (shard_id = process_index) and the train
+step is data-parallel over all global devices with XLA gradient all-reduce
+over ICI/DCN (asr_craft_tpu.parallel).
+
+Multi-host launch (one command per host):
+
+    JAX_COORDINATOR_ADDRESS=host0:1234 JAX_NUM_PROCESSES=4 \
+    JAX_PROCESS_ID=<i> python recipes/swbd_multihost.py --ftr1_file ...
+
+Single-host it runs data-parallel over the local devices.  Time-sharded
+("lattice-sharded") decode is exercised separately via
+asr_craft_tpu.parallel.timeshard (see tests/dist/test_timeshard.py).
+
+Run:  python recipes/swbd_multihost.py [--ftr1_file swbd.pfile ...]
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TRAIN_ARGS = [
+    "--crf_label_size", "46",
+    "--crf_states", "3",
+    "--window_extent", "2",
+    "--normalize", "global",
+    "--crf_lr", "0.03", "--crf_lr_decay", "0.9",
+    "--crf_epochs", "8",
+    "--batch_size", "64",
+    "--bucket_sizes", "256,512,1024,2048",
+    "--out_dir", "./runs/swbd",
+    "--synthetic_utts", "500",
+]
+
+
+def main(extra=()):
+    from asr_craft_tpu.cli.train import main as train_main
+    train_main(TRAIN_ARGS + list(extra))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,64 @@
+"""CLI end-to-end: train on a synthetic corpus through the real entry
+points, decode from the written weight files, resume from checkpoint."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def _run(mod, *args):
+    out = subprocess.run(
+        [sys.executable, "-m", mod, *args, "--platform", "cpu"],
+        cwd=REPO, capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-3000:]
+    return out.stdout
+
+
+def test_cli_train_and_decode(tmp_path):
+    out_dir = str(tmp_path / "run")
+    stdout = _run(
+        "asr_craft_tpu.cli.train",
+        "--synthetic_utts", "30", "--synthetic_noise", "0.3",
+        "--crf_label_size", "6", "--crf_epochs", "3", "--crf_lr", "1.0",
+        "--batch_size", "8", "--bucket_sizes", "256",
+        "--out_dir", out_dir)
+    evals = [json.loads(l) for l in stdout.splitlines()
+             if '"kind": "eval"' in l]
+    assert evals and evals[-1]["frame_accuracy"] > 0.85, evals
+    assert os.path.exists(os.path.join(out_dir, "weights.final.dat"))
+    assert os.path.exists(os.path.join(out_dir, "metrics.jsonl"))
+
+    stdout = _run(
+        "asr_craft_tpu.cli.decode",
+        "--synthetic_utts", "10", "--synthetic_noise", "0.3",
+        "--crf_label_size", "6",
+        "--weight_file", os.path.join(out_dir, "weights.final.dat"),
+        "--batch_size", "8", "--bucket_sizes", "256",
+        "--out_mlf", str(tmp_path / "hyp.mlf"))
+    done = [json.loads(l) for l in stdout.splitlines()
+            if '"kind": "decode_done"' in l]
+    assert done and done[-1]["per"] < 0.2, done
+    assert os.path.exists(tmp_path / "hyp.mlf")
+    with open(tmp_path / "hyp.mlf") as f:
+        assert f.readline().startswith("#!MLF!#")
+
+
+def test_cli_resume(tmp_path):
+    out_dir = str(tmp_path / "run")
+    common = ["--synthetic_utts", "16", "--crf_label_size", "4",
+              "--crf_lr", "0.5", "--batch_size", "8",
+              "--bucket_sizes", "256", "--out_dir", out_dir]
+    _run("asr_craft_tpu.cli.train", *common, "--crf_epochs", "1")
+    # resume for 2 more epochs
+    stdout = _run("asr_craft_tpu.cli.train", *common, "--crf_epochs", "3",
+                  "--resume")
+    recs = [json.loads(l) for l in stdout.splitlines() if l.startswith("{")]
+    assert any(r["kind"] == "resume" and r["epoch"] == 1 for r in recs), recs
+    epochs = [r["epoch"] for r in recs if r["kind"] == "train_epoch"]
+    assert epochs == [1, 2], epochs

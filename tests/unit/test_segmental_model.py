@@ -1,0 +1,116 @@
+"""SCRF model layer: potentials, gold scores, loss, decode."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from asr_craft_tpu import data
+from asr_craft_tpu.models.segmental import (SegCrfConfig, gold_segment_score,
+                                            scrf_decode, scrf_frame_labels,
+                                            scrf_loss, seg_potentials)
+from asr_craft_tpu.ops import oracle
+
+
+def test_seg_potentials_pooling(rng):
+    B, T, D, L, Dmax = 2, 6, 4, 3, 3
+    cfg = SegCrfConfig(num_labels=L, feat_dim=D, max_dur=Dmax,
+                       use_dur_feature=False, use_seg_bias=False)
+    params = cfg.init_params(jax.random.PRNGKey(0), scale=0.5)
+    feats = rng.normal(size=(B, T, D)).astype(np.float32)
+    seg, trans = seg_potentials(cfg, params, jnp.asarray(feats))
+    assert seg.shape == (B, T, Dmax, L)
+    frame = feats @ np.asarray(params["w_frame"])
+    # segment [1, 3] (t=3, d=2): mean of frames 1..3
+    np.testing.assert_allclose(np.asarray(seg)[0, 3, 2],
+                               frame[0, 1:4].mean(axis=0), rtol=1e-4,
+                               atol=1e-5)
+    # d=0: single frame
+    np.testing.assert_allclose(np.asarray(seg)[1, 4, 0], frame[1, 4],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_gold_segment_score_matches_manual(rng):
+    T, Dmax, L = 7, 4, 3
+    seg = jnp.asarray(rng.normal(size=(T, Dmax, L)), jnp.float32)
+    trans = jnp.asarray(rng.normal(size=(L, L)), jnp.float32)
+    labels = jnp.asarray([1, 1, 0, 0, 0, 2, 2], jnp.int32)
+    got = gold_segment_score(seg, trans, labels, 7)
+    # segments: (0,1,lab1), (2,4,lab0), (5,6,lab2)
+    ref = (seg[1, 1, 1] + seg[4, 2, 0] + seg[6, 1, 2]
+           + trans[1, 0] + trans[0, 2])
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+
+
+def test_gold_score_respects_length(rng):
+    T, Dmax, L = 6, 3, 2
+    seg = jnp.asarray(rng.normal(size=(T, Dmax, L)), jnp.float32)
+    trans = jnp.asarray(rng.normal(size=(L, L)), jnp.float32)
+    labels = jnp.asarray([0, 0, 1, 1, 1, 0], jnp.int32)
+    got = gold_segment_score(seg, trans, labels, 4)  # only frames 0..3
+    ref = seg[1, 1, 0] + seg[3, 1, 1] + trans[0, 1]
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+
+
+def test_gold_equals_numerator_bound(rng):
+    """gold score <= logZ always."""
+    B, T, D, L, Dmax = 3, 10, 5, 4, 5
+    cfg = SegCrfConfig(num_labels=L, feat_dim=D, max_dur=Dmax)
+    params = cfg.init_params(jax.random.PRNGKey(1), scale=0.3)
+    feats = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+    labels = jnp.asarray(np.repeat(rng.integers(0, L, size=(B, 5)), 2,
+                                   axis=1), jnp.int32)
+    lengths = jnp.asarray([10, 6, 8], jnp.int32)
+    loss, aux = scrf_loss(cfg, params, feats, labels, lengths)
+    assert (np.asarray(aux["gold"]) <= np.asarray(aux["logZ"]) + 1e-4).all()
+    assert float(loss) > 0
+
+
+def test_scrf_trains_on_toy(rng):
+    """SCRF loss decreases and decode recovers structure on separable data."""
+    L = 4
+    cfg_syn = data.SyntheticConfig(num_labels=L, feat_dim=L, noise=0.2,
+                                   min_len=12, max_len=24, seed=5,
+                                   mean_dur=3.0, min_dur=2)
+    feats_l, labels_l, phones = data.generate_corpus(cfg_syn, 12)
+    T = 24
+    B = len(feats_l)
+    feats = np.zeros((B, T, L), np.float32)
+    labels = np.zeros((B, T), np.int32)
+    lengths = np.zeros((B,), np.int32)
+    for i, (f, l) in enumerate(zip(feats_l, labels_l)):
+        n = len(f)
+        feats[i, :n], labels[i, :n], lengths[i] = f, l, n
+    cfg = SegCrfConfig(num_labels=L, feat_dim=L, max_dur=16)
+    params = cfg.init_params()
+    feats, labels, lengths = map(jnp.asarray, (feats, labels, lengths))
+
+    loss_fn = jax.jit(lambda p: scrf_loss(cfg, p, feats, labels, lengths)[0])
+    grad_fn = jax.jit(jax.grad(lambda p: scrf_loss(
+        cfg, p, feats, labels, lengths)[0]))
+    l0 = float(loss_fn(params))
+    for _ in range(150):
+        g = grad_fn(params)
+        params = jax.tree.map(lambda p, gg: p - 0.5 * gg, params, g)
+    l1 = float(loss_fn(params))
+    assert l1 < l0 * 0.5, (l0, l1)
+
+    frames, scores = scrf_frame_labels(cfg, params, feats, lengths)
+    acc = np.mean([
+        (np.asarray(frames)[b, :lengths[b]] == np.asarray(labels)[b, :lengths[b]]).mean()
+        for b in range(B)])
+    assert acc > 0.85, acc
+
+
+def test_scrf_decode_matches_oracle(rng):
+    B, T, D, L, Dmax = 2, 8, 4, 3, 4
+    cfg = SegCrfConfig(num_labels=L, feat_dim=D, max_dur=Dmax)
+    params = cfg.init_params(jax.random.PRNGKey(2), scale=0.4)
+    feats = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+    lengths = jnp.asarray([8, 5], jnp.int32)
+    seg, trans = seg_potentials(cfg, params, feats)
+    starts, labs, n, scores = scrf_decode(cfg, params, feats, lengths)
+    for b in range(B):
+        ref_segs, ref_score = oracle.segmental_viterbi_np(
+            np.asarray(seg)[b], np.asarray(trans), int(lengths[b]), Dmax)
+        np.testing.assert_allclose(float(scores[b]), ref_score, rtol=1e-4)
+        got = [(int(starts[b, i]), int(labs[b, i])) for i in range(int(n[b]))]
+        assert got == [(a, l) for (a, _, l) in ref_segs]
