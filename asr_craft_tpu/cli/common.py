@@ -69,15 +69,19 @@ def build_corpus(args) -> Tuple[list, list, Optional[list]]:
             scfg, args.synthetic_utts)
         return feats, labels, phones
 
-    pf = read_pfile(args.ftr1_file)
+    # native mmap'd reader when built; pure-Python fallback
+    from asr_craft_tpu.data import pfile_native
+    reader = (pfile_native.read_pfile_fast if pfile_native.available()
+              else read_pfile)
+    pf = reader(args.ftr1_file)
     feats, labels = list(pf.features), pf.labels
     for extra in (getattr(args, "ftr2_file", None),
                   getattr(args, "ftr3_file", None)):
         if extra:
-            pf2 = read_pfile(extra)
+            pf2 = reader(extra)
             feats = [concat_streams(a, b) for a, b in zip(feats, pf2.features)]
     if getattr(args, "hardtarget_file", None):
-        labels = read_pfile(args.hardtarget_file).labels
+        labels = reader(args.hardtarget_file).labels
     if labels is not None:
         labels = [l.astype(np.int32) for l in labels]
     return feats, labels, None

@@ -1,0 +1,302 @@
+"""Weighted FSTs for word decoding: lattice building, composition,
+shortest path.
+
+Capability parity with the reference's OpenFst-based decode path
+(``CRF_LatticeBuilder::buildLattice`` -> ``fst::Compose(lattice,
+lexicon o LM)`` -> ``fst::ShortestPath`` — SURVEY.md §2.1, §3.2), built
+from scratch: a compact arc-array FST representation, tropical (min-plus,
+negative-log) weights, epsilon-free-right composition with left-output-
+epsilon handling, and DAG shortest path.
+
+This is deliberately OFF the TPU hot path (BASELINE: dense DP on chip;
+"host-side lexicon/LM composition" in SURVEY.md §1 target map): the chip
+produces frame potentials / n-best phone lattices; words are found here.
+A C++ backend (native/fst.cpp via ctypes) accelerates compose+shortest-path
+for production lattices; this module is the reference implementation and
+fallback.
+
+Conventions: label 0 is epsilon.  Phone labels are offset by +1 when
+entering FST land; word labels are 1-based indices into the word list.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+INF = np.float32(np.inf)
+
+
+@dataclasses.dataclass
+class Fst:
+    """Arc-array weighted FST (tropical / negative-log weights)."""
+
+    num_states: int
+    start: int
+    # parallel arc arrays
+    src: np.ndarray        # int32 (A,)
+    dst: np.ndarray        # int32 (A,)
+    ilabel: np.ndarray     # int32 (A,), 0 = epsilon
+    olabel: np.ndarray     # int32 (A,), 0 = epsilon
+    weight: np.ndarray     # float32 (A,)
+    final: np.ndarray      # float32 (num_states,), inf = non-final
+
+    @classmethod
+    def from_arcs(cls, num_states: int, start: int,
+                  arcs: Sequence[Tuple[int, int, int, int, float]],
+                  finals: Dict[int, float]) -> "Fst":
+        a = np.asarray(arcs, dtype=np.float64).reshape(-1, 5)
+        final = np.full((num_states,), np.inf, np.float32)
+        for s, w in finals.items():
+            final[s] = w
+        return cls(num_states, start,
+                   a[:, 0].astype(np.int32), a[:, 1].astype(np.int32),
+                   a[:, 2].astype(np.int32), a[:, 3].astype(np.int32),
+                   a[:, 4].astype(np.float32), final)
+
+    @property
+    def num_arcs(self) -> int:
+        return len(self.src)
+
+
+def linear_acceptor(labels: Sequence[int], weights=None) -> Fst:
+    """A straight-line acceptor over 1-based labels."""
+    n = len(labels)
+    w = weights if weights is not None else [0.0] * n
+    arcs = [(i, i + 1, int(labels[i]), int(labels[i]), float(w[i]))
+            for i in range(n)]
+    return Fst.from_arcs(n + 1, 0, arcs, {n: 0.0})
+
+
+def lattice_fst(log_phi_state: np.ndarray, log_phi_trans: np.ndarray,
+                length: int, prune_margin: Optional[float] = None) -> Fst:
+    """Per-utterance phone lattice (the CRF_LatticeBuilder analogue).
+
+    States: (t, label) + a start superstate; one arc per (t, prev, lab) with
+    weight ``-(state[t, lab] + trans[prev, lab])`` (negative log potential).
+    ``prune_margin``: drop arcs into (t, lab) whose best path score falls
+    more than the margin below the frame's best (lattice beam).
+    Labels are emitted 1-based (0 reserved for epsilon).
+    """
+    state = np.asarray(log_phi_state, np.float64)[:length]
+    trans = np.asarray(log_phi_trans, np.float64)
+    T, L = state.shape
+    sid = lambda t, l: 1 + t * L + l
+    arcs = []
+    # forward viterbi scores for pruning
+    delta = state[0].copy()
+    keep_prev = np.ones(L, bool)
+    for l in range(L):
+        arcs.append((0, sid(0, l), l + 1, l + 1, -state[0, l]))
+    for t in range(1, T):
+        cand = delta[:, None] + trans + state[t][None, :]
+        new = cand.max(axis=0)
+        if prune_margin is not None:
+            keep = new >= new.max() - prune_margin
+        else:
+            keep = np.ones(L, bool)
+        for l in np.nonzero(keep)[0]:
+            for p in np.nonzero(keep_prev)[0]:
+                arcs.append((sid(t - 1, p), sid(t, l), l + 1, l + 1,
+                             -(state[t, l] + trans[p, l])))
+        delta, keep_prev = new, keep
+    finals = {sid(T - 1, l): 0.0 for l in np.nonzero(keep_prev)[0]}
+    return Fst.from_arcs(1 + T * L, 0, arcs, finals)
+
+
+def lexicon_fst(lexicon: Dict[str, Sequence[int]],
+                words: List[str]) -> Fst:
+    """Closed pronunciation-trie transducer: phone labels (1-based input)
+    -> word labels (1-based index into ``words``, emitted on the last phone
+    arc, which loops back to the root).  Root is final (empty word seq)."""
+    root = 0
+    next_state = 1
+    trie: Dict[Tuple[int, int], int] = {}
+    arcs = []
+    for wi, word in enumerate(words):
+        phones = list(lexicon[word])
+        if not phones:
+            raise ValueError(f"empty pronunciation for {word!r}")
+        cur = root
+        for ph in phones[:-1]:
+            key = (cur, ph + 1)
+            if key not in trie:
+                trie[key] = next_state
+                arcs.append((cur, next_state, ph + 1, 0, 0.0))
+                next_state += 1
+            cur = trie[key]
+        arcs.append((cur, root, phones[-1] + 1, wi + 1, 0.0))
+    return Fst.from_arcs(next_state, root, arcs, {root: 0.0})
+
+
+def bigram_lm_fst(num_words: int, logp: np.ndarray,
+                  logp_init: np.ndarray, logp_final: np.ndarray) -> Fst:
+    """Bigram word LM acceptor: state 0 = <s>, state w = after word w-1.
+
+    ``logp[u, w]`` = log p(w|u); ``logp_init[w]`` = log p(w|<s>);
+    ``logp_final[u]`` = log p(</s>|u).  Word labels are 1-based.
+    """
+    arcs = []
+    for w in range(num_words):
+        arcs.append((0, w + 1, w + 1, w + 1, -float(logp_init[w])))
+    for u in range(num_words):
+        for w in range(num_words):
+            arcs.append((u + 1, w + 1, w + 1, w + 1, -float(logp[u, w])))
+    finals = {u + 1: -float(logp_final[u]) for u in range(num_words)}
+    finals[0] = 0.0
+    return Fst.from_arcs(num_words + 1, 0, arcs, finals)
+
+
+def compose(a: Fst, b: Fst) -> Fst:
+    """Composition A o B matching ``a.olabel == b.ilabel``.
+
+    B must be input-epsilon-free (true for our lexicons and LMs).  Arcs of A
+    with epsilon output advance A alone.  Reachable-product construction.
+    """
+    from collections import deque
+    # index B arcs by (state, ilabel)
+    b_index: Dict[Tuple[int, int], List[int]] = {}
+    for j in range(b.num_arcs):
+        if b.ilabel[j] == 0:
+            raise ValueError("compose: B must be input-epsilon-free")
+        b_index.setdefault((int(b.src[j]), int(b.ilabel[j])), []).append(j)
+    a_index: Dict[int, List[int]] = {}
+    for i in range(a.num_arcs):
+        a_index.setdefault(int(a.src[i]), []).append(i)
+
+    pair_id: Dict[Tuple[int, int], int] = {}
+    arcs = []
+    finals: Dict[int, float] = {}
+
+    def get_id(p):
+        if p not in pair_id:
+            pair_id[p] = len(pair_id)
+        return pair_id[p]
+
+    start = get_id((a.start, b.start))
+    queue = deque([(a.start, b.start)])
+    seen = {(a.start, b.start)}
+    while queue:
+        sa, sb = queue.popleft()
+        s = get_id((sa, sb))
+        fa, fb = a.final[sa], b.final[sb]
+        if np.isfinite(fa) and np.isfinite(fb):
+            finals[s] = float(fa + fb)
+        for i in a_index.get(sa, ()):  # arcs of A from sa
+            ol = int(a.olabel[i])
+            if ol == 0:  # output-epsilon: advance A alone
+                nxt = (int(a.dst[i]), sb)
+                arcs.append((s, get_id(nxt), int(a.ilabel[i]), 0,
+                             float(a.weight[i])))
+                if nxt not in seen:
+                    seen.add(nxt)
+                    queue.append(nxt)
+            else:
+                for j in b_index.get((sb, ol), ()):
+                    nxt = (int(a.dst[i]), int(b.dst[j]))
+                    arcs.append((s, get_id(nxt), int(a.ilabel[i]),
+                                 int(b.olabel[j]),
+                                 float(a.weight[i] + b.weight[j])))
+                    if nxt not in seen:
+                        seen.add(nxt)
+                        queue.append(nxt)
+    if not arcs:
+        arcs = np.zeros((0, 5))
+    return Fst.from_arcs(max(len(pair_id), 1), start, arcs, finals)
+
+
+def shortest_path(f: Fst) -> Tuple[List[int], List[int], float]:
+    """Min-weight accepting path of an ACYCLIC FST.
+
+    Returns (ilabels, olabels, total_weight) with epsilons removed; raises
+    if the FST is cyclic or has no accepting path.
+    """
+    # topological order by Kahn's algorithm
+    indeg = np.zeros(f.num_states, np.int64)
+    np.add.at(indeg, f.dst, 1)
+    adj: Dict[int, List[int]] = {}
+    for i in range(f.num_arcs):
+        adj.setdefault(int(f.src[i]), []).append(i)
+    from collections import deque
+    order = []
+    q = deque([s for s in range(f.num_states) if indeg[s] == 0])
+    while q:
+        s = q.popleft()
+        order.append(s)
+        for i in adj.get(s, ()):
+            indeg[f.dst[i]] -= 1
+            if indeg[f.dst[i]] == 0:
+                q.append(int(f.dst[i]))
+    if len(order) != f.num_states:
+        raise ValueError("shortest_path: FST has a cycle")
+
+    dist = np.full(f.num_states, np.inf)
+    back = np.full(f.num_states, -1, np.int64)
+    dist[f.start] = 0.0
+    for s in order:
+        if not np.isfinite(dist[s]):
+            continue
+        for i in adj.get(s, ()):
+            nd = dist[s] + f.weight[i]
+            d = int(f.dst[i])
+            if nd < dist[d]:
+                dist[d] = nd
+                back[d] = i
+    total = dist + f.final
+    if not np.isfinite(total).any():
+        raise ValueError("shortest_path: no accepting path")
+    end = int(np.argmin(total))
+    ilabs, olabs = [], []
+    s = end
+    while back[s] >= 0:
+        i = int(back[s])
+        if f.ilabel[i]:
+            ilabs.append(int(f.ilabel[i]))
+        if f.olabel[i]:
+            olabs.append(int(f.olabel[i]))
+        s = int(f.src[i])
+    return ilabs[::-1], olabs[::-1], float(total[end])
+
+
+def decode_words(log_phi_state, log_phi_trans, length,
+                 lexicon: Dict[str, Sequence[int]], words: List[str],
+                 lm: Optional[Fst] = None,
+                 prune_margin: Optional[float] = None,
+                 lm_weight: float = 1.0,
+                 backend: str = "auto") -> Tuple[List[str], List[int], float]:
+    """Full word decode: lattice o lexicon [o LM] -> shortest path.
+
+    Returns (word sequence, phone sequence, path weight)."""
+    lat = lattice_fst(np.asarray(log_phi_state), np.asarray(log_phi_trans),
+                      int(length), prune_margin)
+    ops = get_backend(backend)
+    lw = ops.compose(lat, lexicon_fst(lexicon, words))
+    if lm is not None:
+        if lm_weight != 1.0:
+            lm = dataclasses.replace(lm, weight=lm.weight * lm_weight,
+                                     final=lm.final * lm_weight)
+        lw = ops.compose(lw, lm)
+    phones, wids, weight = ops.shortest_path(lw)
+    return [words[w - 1] for w in wids], [p - 1 for p in phones], weight
+
+
+class _PyBackend:
+    compose = staticmethod(compose)
+    shortest_path = staticmethod(shortest_path)
+
+
+def get_backend(name: str = "auto"):
+    """"py", "native" (C++ via ctypes), or "auto" (native if built)."""
+    if name == "py":
+        return _PyBackend
+    try:
+        from asr_craft_tpu.decode import fst_native
+        if fst_native.available():
+            return fst_native
+        if name == "native":
+            raise RuntimeError("native fst backend not built")
+    except ImportError:
+        if name == "native":
+            raise
+    return _PyBackend

@@ -1,0 +1,205 @@
+// Native FST operations: composition and DAG shortest path.
+//
+// The reference links OpenFst for its decode path (CRF_LatticeBuilder /
+// CRFFstDecode -- SURVEY.md §2.1 L0/L6); this is the from-scratch native
+// equivalent for the host-side lexicon/LM work, exposed through a plain C
+// ABI consumed via ctypes (asr_craft_tpu/decode/fst_native.py).  Semantics
+// mirror the Python reference implementation in asr_craft_tpu/decode/fst.py
+// exactly (tropical weights, label 0 = epsilon, B must be input-eps-free,
+// A output-epsilon arcs advance A alone); equivalence is enforced by
+// randomized tests (tests/unit/test_fst_native.py).
+//
+// Build: make -C native   (g++ -O3 -shared -fPIC)
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <deque>
+#include <limits>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct Fst {
+  int32_t num_states = 0;
+  int32_t start = 0;
+  std::vector<int32_t> src, dst, il, ol;
+  std::vector<float> w;
+  std::vector<float> final_w;  // inf = non-final
+};
+
+const float kInf = std::numeric_limits<float>::infinity();
+
+}  // namespace
+
+extern "C" {
+
+// Opaque result handle ----------------------------------------------------
+
+void* craft_fst_new() { return new Fst(); }
+void craft_fst_free(void* h) { delete static_cast<Fst*>(h); }
+int32_t craft_fst_num_states(void* h) { return static_cast<Fst*>(h)->num_states; }
+int32_t craft_fst_num_arcs(void* h) { return (int32_t)static_cast<Fst*>(h)->src.size(); }
+int32_t craft_fst_start(void* h) { return static_cast<Fst*>(h)->start; }
+
+void craft_fst_export(void* h, int32_t* src, int32_t* dst, int32_t* il,
+                      int32_t* ol, float* w, float* final_w) {
+  Fst* f = static_cast<Fst*>(h);
+  size_t n = f->src.size();
+  std::memcpy(src, f->src.data(), n * 4);
+  std::memcpy(dst, f->dst.data(), n * 4);
+  std::memcpy(il, f->il.data(), n * 4);
+  std::memcpy(ol, f->ol.data(), n * 4);
+  std::memcpy(w, f->w.data(), n * 4);
+  std::memcpy(final_w, f->final_w.data(), f->num_states * 4);
+}
+
+// Composition A o B (match a.olabel == b.ilabel); returns handle or null on
+// error (B has an input epsilon).
+void* craft_compose(
+    int32_t a_ns, int32_t a_start, int32_t a_na, const int32_t* a_src,
+    const int32_t* a_dst, const int32_t* a_il, const int32_t* a_ol,
+    const float* a_w, const float* a_final,
+    int32_t b_ns, int32_t b_start, int32_t b_na, const int32_t* b_src,
+    const int32_t* b_dst, const int32_t* b_il, const int32_t* b_ol,
+    const float* b_w, const float* b_final) {
+  // index arcs by source state (CSR-ish)
+  std::vector<std::vector<int32_t>> a_adj(a_ns), b_adj(b_ns);
+  for (int32_t i = 0; i < a_na; ++i) a_adj[a_src[i]].push_back(i);
+  for (int32_t j = 0; j < b_na; ++j) {
+    if (b_il[j] == 0) return nullptr;  // B must be input-eps-free
+    b_adj[b_src[j]].push_back(j);
+  }
+  // index B arcs by (state, ilabel)
+  std::unordered_map<int64_t, std::vector<int32_t>> b_index;
+  b_index.reserve(b_na * 2);
+  for (int32_t j = 0; j < b_na; ++j)
+    b_index[(int64_t)b_src[j] << 32 | (uint32_t)b_il[j]].push_back(j);
+
+  std::unordered_map<int64_t, int32_t> pair_id;
+  pair_id.reserve(1024);
+  auto get_id = [&](int32_t sa, int32_t sb) {
+    int64_t key = (int64_t)sa * b_ns + sb;
+    auto it = pair_id.find(key);
+    if (it != pair_id.end()) return it->second;
+    int32_t id = (int32_t)pair_id.size();
+    pair_id.emplace(key, id);
+    return id;
+  };
+
+  Fst* out = new Fst();
+  std::deque<std::pair<int32_t, int32_t>> queue;
+  std::vector<std::pair<int32_t, float>> finals;  // (state, weight)
+  out->start = get_id(a_start, b_start);
+  queue.emplace_back(a_start, b_start);
+  // `seen` is implied by pair_id insertion order vs queue pushes
+  std::unordered_map<int64_t, bool> seen;
+  seen[(int64_t)a_start * b_ns + b_start] = true;
+
+  while (!queue.empty()) {
+    auto [sa, sb] = queue.front();
+    queue.pop_front();
+    int32_t s = get_id(sa, sb);
+    if (std::isfinite(a_final[sa]) && std::isfinite(b_final[sb]))
+      finals.emplace_back(s, a_final[sa] + b_final[sb]);
+    for (int32_t i : a_adj[sa]) {
+      if (a_ol[i] == 0) {  // output-epsilon: advance A alone
+        int64_t key = (int64_t)a_dst[i] * b_ns + sb;
+        out->src.push_back(s);
+        out->dst.push_back(get_id(a_dst[i], sb));
+        out->il.push_back(a_il[i]);
+        out->ol.push_back(0);
+        out->w.push_back(a_w[i]);
+        if (!seen[key]) { seen[key] = true; queue.emplace_back(a_dst[i], sb); }
+      } else {
+        auto it = b_index.find((int64_t)sb << 32 | (uint32_t)a_ol[i]);
+        if (it == b_index.end()) continue;
+        for (int32_t j : it->second) {
+          int64_t key = (int64_t)a_dst[i] * b_ns + b_dst[j];
+          out->src.push_back(s);
+          out->dst.push_back(get_id(a_dst[i], b_dst[j]));
+          out->il.push_back(a_il[i]);
+          out->ol.push_back(b_ol[j]);
+          out->w.push_back(a_w[i] + b_w[j]);
+          if (!seen[key]) {
+            seen[key] = true;
+            queue.emplace_back(a_dst[i], b_dst[j]);
+          }
+        }
+      }
+    }
+  }
+  out->num_states = (int32_t)pair_id.size();
+  if (out->num_states == 0) out->num_states = 1;
+  out->final_w.assign(out->num_states, kInf);
+  for (auto& [s, fw] : finals) out->final_w[s] = fw;
+  return out;
+}
+
+// DAG shortest path.  Returns 0 ok, 1 cycle, 2 no accepting path,
+// 3 output buffer too small.  Path labels written with epsilons removed.
+int32_t craft_shortest_path(
+    int32_t ns, int32_t start, int32_t na, const int32_t* src,
+    const int32_t* dst, const int32_t* il, const int32_t* ol,
+    const float* w, const float* final_w,
+    int32_t max_out, int32_t* out_il, int32_t* out_ol,
+    int32_t* out_ni, int32_t* out_no, float* out_weight) {
+  std::vector<std::vector<int32_t>> adj(ns);
+  std::vector<int32_t> indeg(ns, 0);
+  for (int32_t i = 0; i < na; ++i) {
+    adj[src[i]].push_back(i);
+    indeg[dst[i]]++;
+  }
+  // Kahn topological order
+  std::vector<int32_t> order;
+  order.reserve(ns);
+  std::deque<int32_t> q;
+  for (int32_t s = 0; s < ns; ++s)
+    if (indeg[s] == 0) q.push_back(s);
+  while (!q.empty()) {
+    int32_t s = q.front();
+    q.pop_front();
+    order.push_back(s);
+    for (int32_t i : adj[s])
+      if (--indeg[dst[i]] == 0) q.push_back(dst[i]);
+  }
+  if ((int32_t)order.size() != ns) return 1;  // cycle
+
+  std::vector<double> dist(ns, kInf);
+  std::vector<int32_t> back(ns, -1);
+  dist[start] = 0.0;
+  for (int32_t s : order) {
+    if (!std::isfinite(dist[s])) continue;
+    for (int32_t i : adj[s]) {
+      double nd = dist[s] + w[i];
+      if (nd < dist[dst[i]]) {
+        dist[dst[i]] = nd;
+        back[dst[i]] = i;
+      }
+    }
+  }
+  double best = kInf;
+  int32_t end = -1;
+  for (int32_t s = 0; s < ns; ++s) {
+    double tot = dist[s] + final_w[s];
+    if (tot < best) { best = tot; end = s; }
+  }
+  if (end < 0) return 2;
+
+  std::vector<int32_t> ri, ro;
+  for (int32_t s = end; back[s] >= 0; s = src[back[s]]) {
+    int32_t i = back[s];
+    if (il[i]) ri.push_back(il[i]);
+    if (ol[i]) ro.push_back(ol[i]);
+  }
+  if ((int32_t)ri.size() > max_out || (int32_t)ro.size() > max_out) return 3;
+  *out_ni = (int32_t)ri.size();
+  *out_no = (int32_t)ro.size();
+  for (size_t k = 0; k < ri.size(); ++k) out_il[k] = ri[ri.size() - 1 - k];
+  for (size_t k = 0; k < ro.size(); ++k) out_ol[k] = ro[ro.size() - 1 - k];
+  *out_weight = (float)best;
+  return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,89 @@
+"""FST lattice building, composition, shortest path, word decode."""
+import numpy as np
+import pytest
+
+from asr_craft_tpu.decode import fst as F
+from asr_craft_tpu.ops import oracle
+
+
+def test_linear_acceptor_shortest_path():
+    f = F.linear_acceptor([3, 1, 2], [0.5, 0.25, 0.25])
+    ilabs, olabs, w = F.shortest_path(f)
+    assert ilabs == [3, 1, 2] and olabs == [3, 1, 2]
+    np.testing.assert_allclose(w, 1.0)
+
+
+def test_lattice_shortest_path_equals_viterbi(rng):
+    """Lattice-FST best path == dense Viterbi (the reference's
+    LatticeBuilder + ShortestPath must agree with the decoder)."""
+    T, L = 9, 4
+    state = rng.normal(size=(T, L)).astype(np.float32)
+    trans = rng.normal(size=(L, L)).astype(np.float32)
+    lat = F.lattice_fst(state, trans, T)
+    ilabs, _, w = F.shortest_path(lat)
+    ref_path, ref_score = oracle.viterbi_np(state, trans, T)
+    assert [x - 1 for x in ilabs] == ref_path
+    np.testing.assert_allclose(-w, ref_score, rtol=1e-5)
+
+
+def test_lattice_pruning_keeps_best(rng):
+    T, L = 8, 5
+    state = rng.normal(size=(T, L)).astype(np.float32)
+    trans = rng.normal(size=(L, L)).astype(np.float32)
+    lat_full = F.lattice_fst(state, trans, T)
+    lat_pruned = F.lattice_fst(state, trans, T, prune_margin=50.0)
+    _, _, w1 = F.shortest_path(lat_full)
+    _, _, w2 = F.shortest_path(lat_pruned)
+    np.testing.assert_allclose(w1, w2, rtol=1e-6)
+    assert lat_pruned.num_arcs <= lat_full.num_arcs
+
+
+def test_lexicon_compose_decodes_words(rng):
+    # phones: 0=a 1=b 2=c; words: "ab" = [0,1], "c" = [2], "ba" = [1,0]
+    words = ["ab", "c", "ba"]
+    lexicon = {"ab": [0, 1], "c": [2], "ba": [1, 0]}
+    # an utterance whose best phone path is a b c b a
+    T, L = 5, 3
+    state = np.full((T, L), -5.0, np.float32)
+    for t, p in enumerate([0, 1, 2, 1, 0]):
+        state[t, p] = 0.0
+    trans = np.zeros((L, L), np.float32)
+    wseq, phones, wgt = F.decode_words(state, trans, T, lexicon, words)
+    assert wseq == ["ab", "c", "ba"]
+    assert phones == [0, 1, 2, 1, 0]
+
+
+def test_lm_changes_word_choice():
+    """Homophone-style ambiguity resolved by the LM."""
+    words = ["x", "y"]
+    lexicon = {"x": [0], "y": [0]}  # same pronunciation
+    state = np.zeros((1, 1), np.float32)
+    trans = np.zeros((1, 1), np.float32)
+    # LM strongly prefers y
+    logp = np.log(np.full((2, 2), 0.5))
+    lm = F.bigram_lm_fst(2, logp, np.log([0.01, 0.99]), np.log([0.5, 0.5]))
+    wseq, _, _ = F.decode_words(state, trans, 1, lexicon, words, lm=lm)
+    assert wseq == ["y"]
+    lm2 = F.bigram_lm_fst(2, logp, np.log([0.99, 0.01]), np.log([0.5, 0.5]))
+    wseq2, _, _ = F.decode_words(state, trans, 1, lexicon, words, lm=lm2)
+    assert wseq2 == ["x"]
+
+
+def test_compose_rejects_input_epsilon_right():
+    a = F.linear_acceptor([1])
+    b = F.Fst.from_arcs(2, 0, [(0, 1, 0, 1, 0.0)], {1: 0.0})
+    with pytest.raises(ValueError):
+        F.compose(a, b)
+
+
+def test_shortest_path_no_accepting_path():
+    f = F.Fst.from_arcs(2, 0, [(0, 1, 1, 1, 0.0)], {})
+    with pytest.raises(ValueError):
+        F.shortest_path(f)
+
+
+def test_cycle_detection():
+    f = F.Fst.from_arcs(2, 0, [(0, 1, 1, 1, 0.0), (1, 0, 1, 1, 0.0)],
+                        {1: 0.0})
+    with pytest.raises(ValueError):
+        F.shortest_path(f)
