@@ -29,4 +29,5 @@ def backend() -> str:
 
 from asr_craft_tpu.kernels.fwdbwd_pallas import (backward_pallas,
                                                  forward_pallas)
+from asr_craft_tpu.kernels.segmental_pallas import segmental_forward_pallas
 from asr_craft_tpu.kernels.viterbi_pallas import viterbi_pallas

@@ -133,6 +133,24 @@ def scrf_decode(cfg: SegCrfConfig, params, feats, lengths):
     return seg_ops.segmental_viterbi_batch(seg, trans, lengths)
 
 
+def scrf_log_partition_fused(cfg: SegCrfConfig, params, feats, lengths):
+    """SCRF logZ via the fused Pallas kernel: segment potentials are built
+    in VMEM from cumulative frame scores, never materializing the
+    (B, T, Dmax, L) tensor — required at production shapes (the dense
+    tensor for B=64 T=512 Dmax=16 L=48 is ~8.6 GB).  Scoring/eval path; the
+    training loss keeps the autodiff-able scan."""
+    from asr_craft_tpu import kernels
+    prec = None if cfg.precision == "default" else cfg.precision
+    frame = jnp.einsum("btd,dl->btl", feats, params["w_frame"],
+                       precision=prec, preferred_element_type=jnp.float32)
+    _, logZ = kernels.segmental_forward_pallas(
+        jnp.moveaxis(frame, 1, 0), params["b_trans"],
+        params.get("b_dur"), params.get("b_seg"), lengths,
+        max_dur=cfg.max_dur, mean_pool=(cfg.pooling == "mean"),
+        interpret=(jax.default_backend() not in ("tpu", "axon")))
+    return logZ
+
+
 def scrf_frame_labels(cfg: SegCrfConfig, params, feats, lengths):
     """Decode and expand to per-frame labels (B, T) for frame metrics."""
     starts, labs, n, scores = scrf_decode(cfg, params, feats, lengths)
