@@ -80,6 +80,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--platform", default=None,
                    help="force a jax platform (cpu/tpu); needed because "
                         "some environments clobber JAX_PLATFORMS")
+    # observability / sanitizers (SURVEY.md §5)
+    p.add_argument("--profile_dir", default=None,
+                   help="dump a jax.profiler trace of training here")
+    p.add_argument("--debug_nans", action="store_true")
+    p.add_argument("--check_sync_every", type=int, default=0,
+                   help="assert DP replicas identical every N steps")
     return p
 
 
@@ -87,6 +93,9 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.debug_nans:
+        from asr_craft_tpu.utils.diagnostics import enable_debug_nans
+        enable_debug_nans()
     initialize_distributed()
     shard = data_shard_info()
 
@@ -123,7 +132,8 @@ def main(argv=None) -> int:
         lr=args.crf_lr, lr_decay=args.crf_lr_decay, epochs=args.crf_epochs,
         momentum=args.momentum, optimizer=args.optimizer, l2=args.l2,
         weight_avg=bool(args.weight_avg), log_every=args.log_every,
-        out_dir=args.out_dir)
+        out_dir=args.out_dir, profile_dir=args.profile_dir,
+        check_sync_every=args.check_sync_every)
     logger = MetricsLogger(os.path.join(args.out_dir, "metrics.jsonl"))
     trainer = Trainer(cfg, tc, params=params, label_kind=args.label_kind,
                      logger=logger)

@@ -48,6 +48,10 @@ class TrainConfig:
     log_every: int = 50
     frame_shift_s: float = 0.01     # 10ms frames: audio-seconds metric
     out_dir: Optional[str] = None   # per-epoch weight files + metrics.jsonl
+    # observability (SURVEY.md §5): profiler trace dir and the cross-device
+    # replication assertion cadence (0 = off)
+    profile_dir: Optional[str] = None
+    check_sync_every: int = 0
 
 
 def make_optimizer(tc: TrainConfig, epoch: int = 0) -> optax.GradientTransformation:
@@ -149,6 +153,7 @@ class Trainer:
     def train_epoch(self, loader, put: Callable = None) -> Dict:
         """One epoch over ``loader.epoch_batches()``.  ``put``: optional
         device/sharding placement for batches (parallel.make_batch_put)."""
+        from asr_craft_tpu.utils import diagnostics
         t_start = time.time()
         frames = 0
         losses = []
@@ -158,11 +163,16 @@ class Trainer:
                   if k in ("feats", "labels", "lengths")}
             if put is not None:
                 jb = put(jb)
-            self.params, self.opt_state, self.avg_params, m = self.step_fn(
-                self.params, self.opt_state, self.avg_params, jb, lr)
+            with diagnostics.step_annotation("train", self.step):
+                self.params, self.opt_state, self.avg_params, m = \
+                    self.step_fn(self.params, self.opt_state,
+                                 self.avg_params, jb, lr)
             self.step += 1
             losses.append(float(m["loss"]))
             frames += int(m["frames"])
+            if (self.tc.check_sync_every
+                    and self.step % self.tc.check_sync_every == 0):
+                diagnostics.assert_replicated(self.params)
             if self.step % self.tc.log_every == 0:
                 self.logger.log("train_step", step=self.step,
                                 epoch=self.epoch, loss=float(m["loss"]),
@@ -211,11 +221,14 @@ class Trainer:
 
     def fit(self, train_loader, cv_loader=None, ref_phone_seqs=None,
             fold=None, put=None) -> Dict:
+        from asr_craft_tpu.utils import diagnostics
         last = {}
-        for _ in range(self.tc.epochs):
-            last = self.train_epoch(train_loader, put=put)
-            if cv_loader is not None:
-                last.update(self.evaluate(cv_loader, ref_phone_seqs, fold))
+        with diagnostics.profiler_session(self.tc.profile_dir):
+            for _ in range(self.tc.epochs):
+                last = self.train_epoch(train_loader, put=put)
+                if cv_loader is not None:
+                    last.update(self.evaluate(cv_loader, ref_phone_seqs,
+                                              fold))
         return last
 
     @property
