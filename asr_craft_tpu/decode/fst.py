@@ -259,6 +259,67 @@ def shortest_path(f: Fst) -> Tuple[List[int], List[int], float]:
     return ilabs[::-1], olabs[::-1], float(total[end])
 
 
+def shortest_paths_n(f: Fst, n: int):
+    """N best accepting paths of an ACYCLIC FST (fst::ShortestPath(n)
+    parity).  Returns a list of (ilabels, olabels, weight), best first.
+
+    DAG DP keeping the top-n partial paths per state (each entry carries its
+    own backpointer chain), so paths may share prefixes but are distinct
+    arc sequences.
+    """
+    indeg = np.zeros(f.num_states, np.int64)
+    np.add.at(indeg, f.dst, 1)
+    adj: Dict[int, List[int]] = {}
+    for i in range(f.num_arcs):
+        adj.setdefault(int(f.src[i]), []).append(i)
+    from collections import deque
+    order = []
+    q = deque([s for s in range(f.num_states) if indeg[s] == 0])
+    while q:
+        s = q.popleft()
+        order.append(s)
+        for i in adj.get(s, ()):
+            indeg[f.dst[i]] -= 1
+            if indeg[f.dst[i]] == 0:
+                q.append(int(f.dst[i]))
+    if len(order) != f.num_states:
+        raise ValueError("shortest_paths_n: FST has a cycle")
+
+    # per-state list of (dist, arc_idx, parent_entry) capped at n
+    entries: Dict[int, List[Tuple[float, int, Optional[tuple]]]] = {
+        f.start: [(0.0, -1, None)]}
+    for s in order:
+        cur = entries.get(s)
+        if not cur:
+            continue
+        for i in adj.get(s, ()):
+            d = int(f.dst[i])
+            lst = entries.setdefault(d, [])
+            for ent in cur:
+                lst.append((ent[0] + float(f.weight[i]), i, ent))
+            lst.sort(key=lambda e: e[0])
+            del lst[n:]
+
+    finals = []
+    for s, lst in entries.items():
+        if np.isfinite(f.final[s]):
+            for ent in lst:
+                finals.append((ent[0] + float(f.final[s]), ent))
+    finals.sort(key=lambda e: e[0])
+    out = []
+    for total, ent in finals[:n]:
+        ilabs, olabs = [], []
+        while ent is not None and ent[1] >= 0:
+            i = ent[1]
+            if f.ilabel[i]:
+                ilabs.append(int(f.ilabel[i]))
+            if f.olabel[i]:
+                olabs.append(int(f.olabel[i]))
+            ent = ent[2]
+        out.append((ilabs[::-1], olabs[::-1], total))
+    return out
+
+
 def decode_words(log_phi_state, log_phi_trans, length,
                  lexicon: Dict[str, Sequence[int]], words: List[str],
                  lm: Optional[Fst] = None,

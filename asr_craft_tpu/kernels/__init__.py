@@ -31,3 +31,5 @@ from asr_craft_tpu.kernels.fwdbwd_pallas import (backward_pallas,
                                                  forward_pallas)
 from asr_craft_tpu.kernels.segmental_pallas import segmental_forward_pallas
 from asr_craft_tpu.kernels.viterbi_pallas import viterbi_pallas
+from asr_craft_tpu.kernels.dual_pallas import (backward_dual_pallas,
+                                               forward_dual_pallas)

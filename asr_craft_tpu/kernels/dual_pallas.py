@@ -1,0 +1,225 @@
+"""Dual-lattice Pallas kernels: free + clamped forward/backward in one pass.
+
+The CRF training criterion needs TWO DP passes per direction: the free
+denominator logZ and the label-clamped numerator (models/crf.py).  Running
+them as separate kernels streams the state potentials twice and halves MXU
+utilization (two (B, L) matmuls instead of one (2B, L)).  These kernels
+carry both lattices at once:
+
+- the state stream is shared;
+- the clamp penalty is recomputed in-kernel from the per-frame labels
+  (``lane // num_states == label`` for phone-granular targets, equality for
+  state-granular ones) — no second potential tensor in HBM;
+- the two carries are stacked into one (2B, L) operand for the rescaled-exp
+  MXU matmul.
+
+Used by the fused training objective in ops.mxu (nll_dual custom VJP).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from asr_craft_tpu.kernels.fwdbwd_pallas import (_LANE, _SUBLANE, _TBLOCK,
+                                                 _lse_rows, _round_up,
+                                                 pad_tbl)
+from asr_craft_tpu.ops.semiring import NEG_INF
+
+
+def _clamp_mask(lab_col, L, num_states):
+    """(B, 1) labels -> (B, L) additive penalty."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (lab_col.shape[0], L), 1)
+    return jnp.where(lane // num_states == lab_col, 0.0, NEG_INF)
+
+
+def _dual_fwd_kernel(num_states, len_ref, state_ref, lab_ref, P_ref,
+                     tmax_ref, af_ref, ac_ref, logZ_ref, carry):
+    # carry: (2B, L) — rows [0, B) free alpha, rows [B, 2B) clamped alpha.
+    i = pl.program_id(0)
+    B2, L = carry.shape
+    B = B2 // 2
+
+    def frame(k, _):
+        t = i * _TBLOCK + k
+        state_t = state_ref[k]                      # (B, L)
+        clamp = _clamp_mask(lab_ref[k][:, 0:1], L, num_states)
+        state2 = jnp.concatenate([state_t, state_t + clamp], axis=0)
+
+        @pl.when(t == 0)
+        def _():
+            carry[:] = state2
+
+        @pl.when(t > 0)
+        def _():
+            alpha = carry[:]
+            m = jnp.maximum(jnp.max(alpha, axis=-1, keepdims=True), NEG_INF)
+            prod = jnp.dot(jnp.exp(alpha - m), P_ref[:],
+                           preferred_element_type=jnp.float32)
+            new = (m + tmax_ref[0:1, :]
+                   + jnp.log(jnp.maximum(prod, 1e-38)) + state2)
+            valid = len_ref[:, 0:1] > t             # (B, 1)
+            valid2 = jnp.concatenate([valid, valid], axis=0)
+            carry[:] = jnp.where(valid2, new, alpha)
+
+        af_ref[k] = carry[0:B]
+        ac_ref[k] = carry[B:]
+        return 0
+
+    jax.lax.fori_loop(0, _TBLOCK, frame, 0, unroll=True)
+    lz = _lse_rows(carry[:])                        # (2B, 1)
+    logZ_ref[:] = jnp.broadcast_to(lz, logZ_ref.shape)
+
+
+@functools.partial(jax.jit, static_argnames=("num_states", "interpret"))
+def forward_dual_pallas(state_tm, trans, labels_tm, lengths,
+                        num_states: int = 1, interpret: bool = False):
+    """Free + clamped alpha passes in one kernel.
+
+    ``state_tm``: (T, B, L) boundary-masked potentials; ``labels_tm``:
+    (T, B) int32 frame targets (phone-granular when num_states > 1, any
+    granularity with num_states == 1 meaning direct state equality).
+    Returns (alphas_free, alphas_clamped (T, B, L), logZ_free, logZ_clamped
+    (B,))."""
+    T0b, B0b, _ = state_tm.shape
+    state_tm, trans, lengths, T0, B0, L0 = pad_tbl(state_tm, trans, lengths,
+                                                   _TBLOCK)
+    T, B, L = state_tm.shape
+    labels_p = jnp.pad(labels_tm, ((0, T - T0b), (0, B - B0b)),
+                       constant_values=0)
+    lab3 = jnp.broadcast_to(labels_p[:, :, None].astype(jnp.int32),
+                            (T, B, _LANE))
+    tmax = jnp.maximum(jnp.max(trans, axis=0), NEG_INF)
+    P = jnp.exp(trans - tmax[None, :])
+    tmax8 = jnp.broadcast_to(tmax[None, :], (_SUBLANE, L))
+    len2d = jnp.broadcast_to(lengths[:, None].astype(jnp.int32), (B, _LANE))
+    af, ac, logZ = pl.pallas_call(
+        functools.partial(_dual_fwd_kernel, num_states),
+        grid=(T // _TBLOCK,),
+        in_specs=[
+            pl.BlockSpec((B, _LANE), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TBLOCK, B, L), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TBLOCK, B, _LANE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, L), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_SUBLANE, L), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_TBLOCK, B, L), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TBLOCK, B, L), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * B, _LANE), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, L), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, L), jnp.float32),
+            jax.ShapeDtypeStruct((2 * B, _LANE), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((2 * B, L), jnp.float32)],
+        interpret=interpret,
+    )(len2d, state_tm, lab3, P, tmax8)
+    return (af[:T0, :B0, :L0], ac[:T0, :B0, :L0],
+            logZ[:B0, 0], logZ[B:B + B0, 0])
+
+
+def _dual_bwd_kernel(num_states, len_ref, cur_ref, nxt_ref, lab_cur_ref,
+                     lab_nxt_ref, Pt_ref, tmaxr_ref, bf_ref, bc_ref, carry):
+    i = pl.program_id(0)
+    nb = pl.num_programs(0)
+    base = (nb - 1 - i) * _TBLOCK
+    B2, L = carry.shape
+    B = B2 // 2
+
+    @pl.when(i == 0)
+    def _():
+        carry[:] = jnp.zeros_like(carry)
+
+    def frame(j, _):
+        k = _TBLOCK - 1 - j
+        t = base + k
+        last = k == _TBLOCK - 1
+        state_next = jnp.where(last, nxt_ref[0],
+                               cur_ref[jnp.minimum(k + 1, _TBLOCK - 1)])
+        lab_next = jnp.where(last, lab_nxt_ref[0][:, 0:1],
+                             lab_cur_ref[jnp.minimum(k + 1, _TBLOCK - 1)][:, 0:1])
+        clamp = _clamp_mask(lab_next, L, num_states)
+        state2 = jnp.concatenate([state_next, state_next + clamp], axis=0)
+        beta = carry[:]
+        x = beta + state2
+        m = jnp.maximum(jnp.max(x, axis=-1, keepdims=True), NEG_INF)
+        prod = jnp.dot(jnp.exp(x - m), Pt_ref[:],
+                       preferred_element_type=jnp.float32)
+        new = m + tmaxr_ref[0:1, :] + jnp.log(jnp.maximum(prod, 1e-38))
+        valid = len_ref[:, 0:1] > t + 1
+        valid2 = jnp.concatenate([valid, valid], axis=0)
+        carry[:] = jnp.where(valid2, new, jnp.zeros_like(new))
+        bf_ref[k] = carry[0:B]
+        bc_ref[k] = carry[B:]
+        return 0
+
+    jax.lax.fori_loop(0, _TBLOCK, frame, 0, unroll=True)
+
+
+@functools.partial(jax.jit, static_argnames=("num_states", "interpret"))
+def backward_dual_pallas(state_tm, trans, labels_tm, lengths,
+                         num_states: int = 1, interpret: bool = False):
+    """Free + clamped beta passes in one kernel.  Returns
+    (betas_free, betas_clamped (T, B, L))."""
+    T0b, B0b, _ = state_tm.shape
+    state_tm, trans, lengths, T0, B0, L0 = pad_tbl(state_tm, trans, lengths,
+                                                   _TBLOCK)
+    T, B, L = state_tm.shape
+    nb = T // _TBLOCK
+    labels_p = jnp.pad(labels_tm, ((0, T - T0b), (0, B - B0b)),
+                       constant_values=0)
+    lab3 = jnp.broadcast_to(labels_p[:, :, None].astype(jnp.int32),
+                            (T, B, _LANE))
+    tmax_r = jnp.maximum(jnp.max(trans, axis=1), NEG_INF)
+    Pt = jnp.exp(trans.T - tmax_r[None, :])
+    tmaxr8 = jnp.broadcast_to(tmax_r[None, :], (_SUBLANE, L))
+    len2d = jnp.broadcast_to(lengths[:, None].astype(jnp.int32), (B, _LANE))
+    bf, bc = pl.pallas_call(
+        functools.partial(_dual_bwd_kernel, num_states),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((B, _LANE), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TBLOCK, B, L), lambda i: (nb - 1 - i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TBLOCK, B, L),
+                         lambda i: (jnp.minimum(nb - i, nb - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TBLOCK, B, _LANE),
+                         lambda i: (nb - 1 - i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TBLOCK, B, _LANE),
+                         lambda i: (jnp.minimum(nb - i, nb - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, L), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_SUBLANE, L), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_TBLOCK, B, L), lambda i: (nb - 1 - i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TBLOCK, B, L), lambda i: (nb - 1 - i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, L), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, L), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((2 * B, L), jnp.float32)],
+        interpret=interpret,
+    )(len2d, state_tm, state_tm, lab3, lab3, Pt, tmaxr8)
+    return bf[:T0, :B0, :L0], bc[:T0, :B0, :L0]

@@ -129,17 +129,23 @@ def crf_loss(cfg: CrfConfig, params, feats, labels, lengths, sparse=None,
     """
     state, trans = potentials(cfg, params, feats, sparse)
     state = apply_boundaries(cfg, state, lengths)
-    logZ = _log_partition(state, trans, lengths)
-
-    if label_kind == "state":
-        states = jnp.arange(cfg.topology.num_expanded)
-        clamp = jnp.where(labels[..., None] == states, 0.0, NEG_INF)
+    if trans.ndim == 2:
+        # fused dual-lattice objective: one kernel pass computes both the
+        # free denominator and the label-clamped numerator (ops.mxu)
+        ns = 1 if label_kind == "state" else cfg.num_states
+        raw_nll, logZ, num = mxu.nll_dual(state, trans, labels, lengths, ns)
     else:
-        clamp = cfg.topology.clamp_mask(labels)
-    num = _log_partition(state + clamp, trans, lengths)
+        logZ = _log_partition(state, trans, lengths)
+        if label_kind == "state":
+            states = jnp.arange(cfg.topology.num_expanded)
+            clamp = jnp.where(labels[..., None] == states, 0.0, NEG_INF)
+        else:
+            clamp = cfg.topology.clamp_mask(labels)
+        num = _log_partition(state + clamp, trans, lengths)
+        raw_nll = logZ - num
 
     # empty rows (length 0: loader batch padding) are inert
-    nll = jnp.where(lengths > 0, logZ - num, 0.0)  # (B,)
+    nll = jnp.where(lengths > 0, raw_nll, 0.0)     # (B,)
     total_frames = jnp.maximum(jnp.sum(lengths), 1)
     loss = jnp.sum(nll) / total_frames
     return loss, {"logZ": logZ, "numerator": num, "nll": nll,

@@ -186,6 +186,106 @@ def _lp_bwd(res, g):
 log_partition_mxu.defvjp(_lp_fwd, _lp_bwd)
 
 
+def _clamp_penalty(labels, L, num_states):
+    """(B, T) labels -> (B, T, L) additive clamp penalty."""
+    lane = jnp.arange(L)
+    return jnp.where(lane[None, None, :] // num_states == labels[..., None],
+                     0.0, NEG_INF)
+
+
+def _xi_uv(alphas, betas, state_eff, logZ, lengths, w):
+    """Cotangent-weighted U, V factors of the xi contraction (time-major
+    alphas/betas (T, B, L); state_eff includes any clamp).  Returns
+    (U, V): (T-1, B, L) each, ready for a single einsum."""
+    T = alphas.shape[0]
+    valid = (jnp.arange(T)[:, None] < lengths[None, :])          # (T, B)
+    state_tm = jnp.moveaxis(state_eff, 1, 0)
+    mU = _row_max(alphas[:-1])
+    x = betas[1:] + state_tm[1:]
+    mV = _row_max(x)
+    scale = jnp.exp(mU + mV - logZ[None, :, None])
+    scale = jnp.where(valid[1:][..., None], scale, 0.0)
+    U = jnp.exp(alphas[:-1] - mU) * (scale * w[None, :, None])
+    V = jnp.exp(x - mV)
+    return U, V
+
+
+@functools.lru_cache(maxsize=None)
+def _make_nll_dual(num_states: int):
+    """Fused training objective: per-sequence (nll, logZ, numerator) with a
+    classical-forward-backward VJP running BOTH lattices (free + clamped)
+    through the dual Pallas kernels (one state stream, (2B, L) matmuls).
+
+    ``num_states``: clamp granularity — frame label ``y`` admits expanded
+    states ``[y*ns, (y+1)*ns)``; 1 = direct state equality.
+    """
+    from asr_craft_tpu import kernels
+
+    def _fwd_both(state, trans, labels, lengths):
+        if kernels.backend() == "pallas":
+            return kernels.forward_dual_pallas(
+                jnp.moveaxis(state, 1, 0), trans,
+                jnp.moveaxis(labels, 1, 0), lengths, num_states=num_states)
+        af, zf = _forward_any(state, trans, lengths)
+        clamp = _clamp_penalty(labels, state.shape[-1], num_states)
+        ac, zc = _forward_any(state + clamp, trans, lengths)
+        return af, ac, zf, zc
+
+    def _bwd_both(state, trans, labels, lengths):
+        if kernels.backend() == "pallas":
+            return kernels.backward_dual_pallas(
+                jnp.moveaxis(state, 1, 0), trans,
+                jnp.moveaxis(labels, 1, 0), lengths, num_states=num_states)
+        bf = _backward_any(state, trans, lengths)
+        clamp = _clamp_penalty(labels, state.shape[-1], num_states)
+        bc = _backward_any(state + clamp, trans, lengths)
+        return bf, bc
+
+    @jax.custom_vjp
+    def nll_dual(state, trans, labels, lengths):
+        _, _, zf, zc = _fwd_both(state, trans, labels, lengths)
+        return zf - zc, zf, zc
+
+    def fwd(state, trans, labels, lengths):
+        af, ac, zf, zc = _fwd_both(state, trans, labels, lengths)
+        return (zf - zc, zf, zc), (state, trans, labels, lengths,
+                                   af, ac, zf, zc)
+
+    def bwd(res, gs):
+        g_nll, g_zf, g_zc = gs
+        state, trans, labels, lengths, af, ac, zf, zc = res
+        wf = g_nll + g_zf
+        wc = g_zc - g_nll
+        bf, bc = _bwd_both(state, trans, labels, lengths)
+
+        T = af.shape[0]
+        valid = (jnp.arange(T)[:, None] < lengths[None, :])
+        gamma_f = jnp.exp(af + bf - zf[None, :, None])
+        gamma_c = jnp.exp(ac + bc - zc[None, :, None])
+        g_state_tm = jnp.where(
+            valid[..., None],
+            gamma_f * wf[None, :, None] + gamma_c * wc[None, :, None], 0.0)
+        g_state = jnp.moveaxis(g_state_tm, 0, 1)
+
+        clamp = _clamp_penalty(labels, state.shape[-1], num_states)
+        Uf, Vf = _xi_uv(af, bf, state, zf, lengths, wf)
+        Uc, Vc = _xi_uv(ac, bc, state + clamp, zc, lengths, wc)
+        U = jnp.concatenate([Uf, Uc], axis=0)
+        V = jnp.concatenate([Vf, Vc], axis=0)
+        UV = jnp.einsum("tbp,tbl->pl", U, V,
+                        preferred_element_type=jnp.float32)
+        g_trans = jnp.sign(UV) * jnp.exp(trans + _safe_log(jnp.abs(UV)))
+        return g_state, g_trans, None, None
+
+    nll_dual.defvjp(fwd, bwd)
+    return nll_dual
+
+
+def nll_dual(state, trans, labels, lengths, num_states: int = 1):
+    """Per-sequence (nll, logZ, numerator) — see _make_nll_dual."""
+    return _make_nll_dual(int(num_states))(state, trans, labels, lengths)
+
+
 def posteriors_mxu(state, trans, lengths):
     """(B, T, L) gamma — parity surface for tests/benchmarks."""
     alphas, logZ = _forward_any(state, trans, lengths)

@@ -87,3 +87,33 @@ def test_cycle_detection():
                         {1: 0.0})
     with pytest.raises(ValueError):
         F.shortest_path(f)
+
+
+def test_nbest_paths(rng):
+    T, L = 6, 3
+    state = rng.normal(size=(T, L)).astype(np.float32)
+    trans = rng.normal(size=(L, L)).astype(np.float32)
+    lat = F.lattice_fst(state, trans, T)
+    nbest = F.shortest_paths_n(lat, 5)
+    assert len(nbest) == 5
+    # best of n-best == 1-best
+    i1, o1, w1 = F.shortest_path(lat)
+    assert nbest[0][0] == i1
+    np.testing.assert_allclose(nbest[0][2], w1, rtol=1e-6)
+    # weights non-decreasing, paths distinct
+    ws = [w for _, _, w in nbest]
+    assert ws == sorted(ws)
+    assert len({tuple(p) for p, _, _ in nbest}) == 5
+    # exhaustive check against enumerating all L**T paths
+    from asr_craft_tpu.ops import oracle
+    import itertools
+    scores = sorted(
+        -oracle.path_score_np(state, trans, list(p), T)
+        for p in itertools.product(range(L), repeat=T))
+    np.testing.assert_allclose(ws, scores[:5], rtol=1e-5)
+
+
+def test_nbest_fewer_paths_than_n():
+    f = F.linear_acceptor([1, 2])
+    nbest = F.shortest_paths_n(f, 10)
+    assert len(nbest) == 1
