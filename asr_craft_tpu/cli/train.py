@@ -152,10 +152,17 @@ def main(argv=None) -> int:
         trainer.opt_state = trainer.opt.init(trainer.params)
         trainer.avg_params = trainer.params
 
+    # reference phone sequences for CV PER (collapsed frame labels)
+    from asr_craft_tpu.decode.scorer import collapse_frames
+    cv_refs = None
+    if args.label_kind == "phone":
+        cv_refs = {i: collapse_frames(labels[cv_idx[i]], len(labels[cv_idx[i]]))
+                   for i in range(len(cv_idx))}
+
     for _ in range(trainer.epoch, tc.epochs):
         trainer.train_epoch(train_loader, put=put)
         if len(cv_loader):
-            trainer.evaluate(cv_loader)
+            trainer.evaluate(cv_loader, ref_phone_seqs=cv_refs)
         save_checkpoint(ckpt_dir, trainer, train_loader.state())
 
     weights_mod.save_raw(os.path.join(args.out_dir, "weights.final.dat"),

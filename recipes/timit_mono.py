@@ -19,12 +19,12 @@ TRAIN_ARGS = [
     "--crf_label_size", "48",
     "--crf_states", "1",
     "--window_extent", "1",
-    "--crf_lr", "0.08", "--crf_lr_decay", "0.9",
-    "--crf_epochs", "10",
+    "--crf_lr", "0.5", "--crf_lr_decay", "0.9",
+    "--crf_epochs", "20",
     "--batch_size", "32",
     "--out_dir", "./runs/timit_mono",
     # synthetic stand-in corpus (drop when --ftr1_file is given)
-    "--synthetic_utts", "200",
+    "--synthetic_utts", "400",
 ]
 
 DECODE_ARGS = [
