@@ -55,8 +55,11 @@ def apply_overrides(cfg: Dict[str, Any], sets: List[str]) -> Dict[str, Any]:
 
 
 def build_corpus(args) -> Tuple[list, list, Optional[list]]:
-    """Features + frame labels from pfiles (ftr1/ftr2/ftr3 concatenated) or
-    a synthetic corpus.  Returns (features, labels, phone_seqs|None)."""
+    """Features + frame labels from pfiles (ftr1/ftr2/ftr3 concatenated),
+    an HTK scp + MLF pair, or a synthetic corpus.
+    Returns (features, labels, phone_seqs|None)."""
+    if getattr(args, "htk_scp", None):
+        return _build_htk_corpus(args)
     if getattr(args, "synthetic_utts", 0):
         scfg = data_mod.SyntheticConfig(
             num_labels=args.crf_label_size,
@@ -84,6 +87,43 @@ def build_corpus(args) -> Tuple[list, list, Optional[list]]:
         labels = reader(args.hardtarget_file).labels
     if labels is not None:
         labels = [l.astype(np.int32) for l in labels]
+    return feats, labels, None
+
+
+def _build_htk_corpus(args):
+    """HTK path: ``--htk_scp`` lists one feature file per line (optionally
+    ``key=path``); frame labels come from ``--label_mlf`` +
+    ``--phone_names`` (label segments expanded to frames)."""
+    from asr_craft_tpu.data import read_htk, read_mlf
+
+    names = None
+    if getattr(args, "phone_names", None):
+        with open(args.phone_names) as f:
+            names = {ln.strip(): i for i, ln in enumerate(f) if ln.strip()}
+    mlf = (read_mlf(args.label_mlf)
+           if getattr(args, "label_mlf", None) else None)
+
+    feats, labels = [], ([] if mlf else None)
+    with open(args.htk_scp) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            key, _, path = line.rpartition("=")
+            if not key:
+                path = line
+                key = os.path.splitext(os.path.basename(path))[0]
+            x, _, _ = read_htk(path)
+            feats.append(x)
+            if mlf is not None:
+                segs = mlf.get(key)
+                if segs is None:
+                    raise ValueError(f"utterance {key!r} missing from MLF")
+                lab = np.zeros(len(x), np.int32)
+                for s, e, name in segs:
+                    li = names[name] if names else int(name)
+                    lab[max(s, 0):min(e, len(x))] = li
+                labels.append(lab)
     return feats, labels, None
 
 

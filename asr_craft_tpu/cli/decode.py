@@ -27,6 +27,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ftr2_file")
     p.add_argument("--ftr3_file")
     p.add_argument("--hardtarget_file")
+    p.add_argument("--htk_scp", help="list of HTK feature files "
+                   "(one per line, optionally key=path)")
+    p.add_argument("--label_mlf", help="MLF with frame-time labels "
+                   "for --htk_scp utterances")
     p.add_argument("--window_extent", type=int, default=0)
     p.add_argument("--deltas_order", type=int, default=0)
     p.add_argument("--normalize", choices=["none", "global", "utt"],

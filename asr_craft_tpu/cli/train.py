@@ -38,6 +38,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ftr2_file", help="2nd feature pfile to concatenate")
     p.add_argument("--ftr3_file", help="3rd feature pfile to concatenate")
     p.add_argument("--hardtarget_file", help="label pfile (else ftr1 labels)")
+    p.add_argument("--htk_scp", help="list of HTK feature files "
+                   "(one per line, optionally key=path)")
+    p.add_argument("--label_mlf", help="MLF with frame-time labels "
+                   "for --htk_scp utterances")
+    p.add_argument("--phone_names", help="one phone name per line "
+                   "(maps MLF labels to indices)")
     p.add_argument("--window_extent", type=int, default=0,
                    help="+/- context frames")
     p.add_argument("--deltas_order", type=int, default=0)
