@@ -33,6 +33,18 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data",
     return Mesh(np.asarray(devices), (axis,))
 
 
+def make_mesh_2d(data: int, time: int,
+                 devices: Optional[Sequence] = None) -> Mesh:
+    """A ("data", "time") mesh (SURVEY.md §5): DP training shards batches
+    over "data" with "time" = 1 in normal training; long-form decode flips
+    to time > 1 for the lattice-sharded path (parallel.timeshard works over
+    the "time" axis of any mesh containing it)."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices[:data * time]).reshape(data, time)
+    return Mesh(devices, ("data", "time"))
+
+
 def batch_shardings(mesh: Mesh, axis: str = "data") -> Dict[str, NamedSharding]:
     """Shardings for a batch dict: leading (utterance) axis sharded."""
     return {

@@ -70,3 +70,42 @@ def test_sharded_viterbi_short_lengths(rng):
         n = int(lengths[b])
         np.testing.assert_array_equal(np.asarray(path_sh)[b, :n],
                                       np.asarray(path_ref)[b, :n])
+
+
+def test_2d_mesh_dp_plus_timeshard(rng):
+    """A ("data", "time") mesh: DP loss on the data axis and time-sharded
+    logZ on the time axis coexist (SURVEY.md §5 mesh design)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from asr_craft_tpu.models.crf import CrfConfig, crf_loss
+    from asr_craft_tpu.parallel import replicate_tree
+    from asr_craft_tpu.parallel.mesh import make_mesh_2d
+
+    mesh = make_mesh_2d(4, 2)
+    cfg = CrfConfig(num_labels=4, feat_dim=5)
+    params = cfg.init_params(jax.random.PRNGKey(0), scale=0.3)
+    B, T = 8, 16
+    feats = jnp.asarray(rng.normal(size=(B, T, 5)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 4, size=(B, T)), jnp.int32)
+    lengths = jnp.asarray(rng.integers(1, T + 1, size=(B,)), jnp.int32)
+
+    ref_loss, ref_aux = jax.jit(
+        lambda p, f, l, n: crf_loss(cfg, p, f, l, n))(
+        params, feats, labels, lengths)
+
+    fs = jax.device_put(feats, NamedSharding(mesh, P("data", None, None)))
+    ls = jax.device_put(labels, NamedSharding(mesh, P("data", None)))
+    ns = jax.device_put(lengths, NamedSharding(mesh, P("data")))
+    p_rep = replicate_tree(mesh, params)
+    got_loss, _ = jax.jit(lambda p, f, l, n: crf_loss(cfg, p, f, l, n))(
+        p_rep, fs, ls, ns)
+    np.testing.assert_allclose(float(got_loss), float(ref_loss), rtol=1e-6)
+
+    # time-sharded logZ over the same mesh's "time" axis
+    from asr_craft_tpu.parallel.timeshard import sharded_log_partition
+    from asr_craft_tpu.models.crf import potentials
+    state, trans = potentials(cfg, params, feats)
+    logZ_sh = sharded_log_partition(state, trans, lengths, mesh)
+    logZ_ref = ops.log_partition_batch(state, trans, lengths)
+    np.testing.assert_allclose(np.asarray(logZ_sh), np.asarray(logZ_ref),
+                               rtol=1e-5, atol=1e-6)
