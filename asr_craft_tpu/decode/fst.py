@@ -342,6 +342,43 @@ def decode_words(log_phi_state, log_phi_trans, length,
     return [words[w - 1] for w in wids], [p - 1 for p in phones], weight
 
 
+def write_fst_text(f: Fst, path) -> None:
+    """AT&T/OpenFst text format (``src dst ilabel olabel weight`` lines,
+    finals as ``state weight``) — the reference can emit lattices as FST
+    files for offline rescoring; this is the interchange format."""
+    with open(path, "w") as out:
+        # OpenFst convention: the first line's source is the start state
+        order = np.argsort(f.src != f.start, kind="stable")
+        for i in order:
+            out.write(f"{f.src[i]} {f.dst[i]} {f.ilabel[i]} "
+                      f"{f.olabel[i]} {f.weight[i]:.7g}\n")
+        for s in range(f.num_states):
+            if np.isfinite(f.final[s]):
+                out.write(f"{s} {f.final[s]:.7g}\n")
+
+
+def read_fst_text(path, start: Optional[int] = None) -> Fst:
+    arcs, finals = [], {}
+    first_src = None
+    with open(path) as fh:
+        for line in fh:
+            parts = line.split()
+            if not parts:
+                continue
+            if len(parts) >= 4:
+                s, d, il, ol = map(int, parts[:4])
+                w = float(parts[4]) if len(parts) > 4 else 0.0
+                arcs.append((s, d, il, ol, w))
+                if first_src is None:
+                    first_src = s
+            else:
+                finals[int(parts[0])] = (float(parts[1])
+                                         if len(parts) > 1 else 0.0)
+    ns = 1 + max([max(a[0], a[1]) for a in arcs] + list(finals) + [0])
+    return Fst.from_arcs(ns, start if start is not None else
+                         (first_src or 0), arcs, finals)
+
+
 class _PyBackend:
     compose = staticmethod(compose)
     shortest_path = staticmethod(shortest_path)

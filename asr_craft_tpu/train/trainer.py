@@ -45,6 +45,9 @@ class TrainConfig:
     epochs: int = 5
     weight_avg: bool = False        # Polyak averaging of lambdas
     avg_decay: float = 0.999
+    # gradient accumulation over K micro-batches before each update (the
+    # reference's "bunch"-SGD analogue; also the OOM-escape hatch)
+    accum_steps: int = 1
     log_every: int = 50
     frame_shift_s: float = 0.01     # 10ms frames: audio-seconds metric
     out_dir: Optional[str] = None   # per-epoch weight files + metrics.jsonl
@@ -86,6 +89,28 @@ def make_train_step(cfg: CrfConfig, tc: TrainConfig,
                                 batch["lengths"], label_kind=label_kind)
 
     @jax.jit
+    def grad_step(params, grad_acc, batch):
+        """Accumulate one micro-batch's gradient (accum_steps > 1)."""
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch)
+        grad_acc = jax.tree.map(jnp.add, grad_acc, grads)
+        return grad_acc, {"loss": loss, "frames": aux["frames"],
+                          "mean_logZ": jnp.mean(aux["logZ"])}
+
+    @jax.jit
+    def apply_step(params, opt_state, avg_params, grad_acc, lr):
+        """Apply an accumulated gradient (already summed; mean-normalized
+        by the caller via lr scaling or count division)."""
+        updates, opt_state = base_opt.update(grad_acc, opt_state, params)
+        updates = jax.tree.map(lambda u: u * lr, updates)
+        params = optax.apply_updates(params, updates)
+        if tc.weight_avg:
+            avg_params = jax.tree.map(
+                lambda a, p: tc.avg_decay * a + (1 - tc.avg_decay) * p,
+                avg_params, params)
+        return params, opt_state, avg_params
+
+    @jax.jit
     def step(params, opt_state, avg_params, batch, lr):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch)
@@ -105,7 +130,20 @@ def make_train_step(cfg: CrfConfig, tc: TrainConfig,
                    "frames": aux["frames"]}
         return params, opt_state, avg_params, metrics
 
-    return step, base_opt
+    return _StepFns(step, grad_step, apply_step), base_opt
+
+
+class _StepFns:
+    """Callable fused step + the (grad_step, apply_step) pair used for
+    gradient accumulation."""
+
+    def __init__(self, step, grad_step, apply_step):
+        self._step = step
+        self.grad_step = grad_step
+        self.apply_step = apply_step
+
+    def __call__(self, *args):
+        return self._step(*args)
 
 
 def make_eval_step(cfg: CrfConfig, label_kind: str = "phone") -> Callable:
@@ -158,15 +196,30 @@ class Trainer:
         frames = 0
         losses = []
         lr = jnp.float32(self.current_lr())
+        accum = max(1, self.tc.accum_steps)
+        grad_acc, n_acc = None, 0
         for batch in loader.epoch_batches(self.epoch):
             jb = {k: jnp.asarray(v) for k, v in batch.items()
                   if k in ("feats", "labels", "lengths")}
             if put is not None:
                 jb = put(jb)
             with diagnostics.step_annotation("train", self.step):
-                self.params, self.opt_state, self.avg_params, m = \
-                    self.step_fn(self.params, self.opt_state,
-                                 self.avg_params, jb, lr)
+                if accum == 1:
+                    self.params, self.opt_state, self.avg_params, m = \
+                        self.step_fn(self.params, self.opt_state,
+                                     self.avg_params, jb, lr)
+                else:
+                    if grad_acc is None:
+                        grad_acc = jax.tree.map(jnp.zeros_like, self.params)
+                    grad_acc, m = self.step_fn.grad_step(self.params,
+                                                         grad_acc, jb)
+                    n_acc += 1
+                    if n_acc == accum:
+                        self.params, self.opt_state, self.avg_params = \
+                            self.step_fn.apply_step(
+                                self.params, self.opt_state,
+                                self.avg_params, grad_acc, lr / accum)
+                        grad_acc, n_acc = None, 0
             self.step += 1
             losses.append(float(m["loss"]))
             frames += int(m["frames"])
@@ -176,8 +229,14 @@ class Trainer:
             if self.step % self.tc.log_every == 0:
                 self.logger.log("train_step", step=self.step,
                                 epoch=self.epoch, loss=float(m["loss"]),
-                                grad_norm=float(m["grad_norm"]),
+                                grad_norm=float(m.get("grad_norm", 0.0)),
                                 mean_logZ=float(m["mean_logZ"]))
+        if grad_acc is not None and n_acc:
+            # trailing partial accumulation at epoch end
+            self.params, self.opt_state, self.avg_params = \
+                self.step_fn.apply_step(self.params, self.opt_state,
+                                        self.avg_params, grad_acc,
+                                        lr / n_acc)
         wall = time.time() - t_start
         audio_s = frames * self.tc.frame_shift_s
         out = {"epoch": self.epoch, "mean_loss": float(np.mean(losses)),

@@ -117,3 +117,17 @@ def test_nbest_fewer_paths_than_n():
     f = F.linear_acceptor([1, 2])
     nbest = F.shortest_paths_n(f, 10)
     assert len(nbest) == 1
+
+
+def test_fst_text_roundtrip(tmp_path, rng):
+    T, L = 5, 3
+    state = rng.normal(size=(T, L)).astype(np.float32)
+    trans = rng.normal(size=(L, L)).astype(np.float32)
+    lat = F.lattice_fst(state, trans, T)
+    p = tmp_path / "lat.fst.txt"
+    F.write_fst_text(lat, p)
+    back = F.read_fst_text(p)
+    i1, o1, w1 = F.shortest_path(lat)
+    i2, o2, w2 = F.shortest_path(back)
+    assert i1 == i2 and o1 == o2
+    np.testing.assert_allclose(w1, w2, rtol=1e-5)
