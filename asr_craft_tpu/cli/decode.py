@@ -116,8 +116,14 @@ def main(argv=None) -> int:
         for r, uid in enumerate(batch["uids"]):
             if uid < 0:
                 continue
-            seq = collapse_frames(phones[r], int(batch["lengths"][r]))
-            segs = [(-1, -1, names[x] if names else str(x)) for x in seq]
+            n = int(batch["lengths"][r])
+            # segments with frame times (HTK-style MLF)
+            segs, t0 = [], 0
+            for t in range(1, n + 1):
+                if t == n or phones[r, t] != phones[r, t0]:
+                    lab = int(phones[r, t0])
+                    segs.append((t0, t, names[lab] if names else str(lab)))
+                    t0 = t
             hyp_mlf[f"utt{int(uid):06d}"] = segs
 
     if args.out_mlf:
