@@ -73,7 +73,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--crf_epochs", type=int, default=5)
     p.add_argument("--momentum", type=float, default=0.0)
     p.add_argument("--optimizer", default="sgd",
-                   choices=["sgd", "adam", "adagrad"])
+                   choices=["sgd", "adam", "adagrad", "lbfgs"])
     p.add_argument("--l2", type=float, default=0.0)
     p.add_argument("--weight_avg", type=int, default=0)
     p.add_argument("--batch_size", type=int, default=16)

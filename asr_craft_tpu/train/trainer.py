@@ -65,6 +65,13 @@ def make_optimizer(tc: TrainConfig, epoch: int = 0) -> optax.GradientTransformat
         opt = optax.adam(lr)
     elif tc.optimizer == "adagrad":
         opt = optax.adagrad(lr)
+    elif tc.optimizer == "lbfgs":
+        # Batch/quasi-Newton alternative to per-utterance SGD (the
+        # reference's non-SG trainer slot — SURVEY.md §2.1 "AIS trainer /
+        # possibly an LBFGS trainer").  No linesearch: direction scaled by
+        # the lr schedule like every other variant, so it composes with
+        # the lr-at-1 + external-scale scheme in make_train_step.
+        opt = optax.chain(optax.scale_by_lbfgs(), optax.scale(-lr))
     else:
         raise ValueError(f"unknown optimizer {tc.optimizer!r}")
     if tc.l2:

@@ -65,3 +65,18 @@ def test_accumulation_exact_grad_sum():
         np.testing.assert_allclose(np.asarray(acc[k]),
                                    np.asarray(g1[k]) + np.asarray(g2[k]),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_lbfgs_optimizer_trains():
+    """The quasi-Newton trainer variant (SURVEY.md §2.1 non-SG trainer slot)
+    reduces the loss on separable synthetic data and keeps params finite."""
+    cfg = CrfConfig(num_labels=4, feat_dim=4)
+    tc = TrainConfig(lr=0.5, optimizer="lbfgs", epochs=3, log_every=1000)
+    tr = Trainer(cfg, tc, logger=MetricsLogger(quiet=True))
+    loader = _setup()
+    first = tr.train_epoch(loader)
+    tr.train_epoch(loader)
+    last = tr.train_epoch(loader)
+    assert last["mean_loss"] < first["mean_loss"]
+    for leaf in jax.tree.leaves(tr.params):
+        assert np.isfinite(np.asarray(leaf)).all()
