@@ -30,6 +30,7 @@ def backend() -> str:
 from asr_craft_tpu.kernels.fwdbwd_pallas import (backward_pallas,
                                                  forward_pallas)
 from asr_craft_tpu.kernels.segmental_pallas import segmental_forward_pallas
-from asr_craft_tpu.kernels.viterbi_pallas import viterbi_pallas
+from asr_craft_tpu.kernels.viterbi_pallas import (viterbi_pallas,
+                                                  viterbi_pallas_nstate)
 from asr_craft_tpu.kernels.dual_pallas import (backward_dual_pallas,
                                                forward_dual_pallas)

@@ -169,9 +169,15 @@ def decode(cfg: CrfConfig, params, feats, lengths, sparse=None,
     state = apply_boundaries(cfg, state, lengths)
     if (trans.ndim == 2 and beam_width is None
             and kernels.backend() == "pallas"):
-        paths, scores = kernels.viterbi_pallas(
-            jnp.moveaxis(state, 1, 0), trans, lengths,
-            beam_threshold=beam_threshold)
+        if cfg.num_states > 1 and cfg.num_labels <= 128:
+            # topology-factored kernel: O(L') self/advance + O(P^2) cross
+            paths, scores = kernels.viterbi_pallas_nstate(
+                jnp.moveaxis(state, 1, 0), trans, lengths, cfg.num_states,
+                beam_threshold=beam_threshold)
+        else:
+            paths, scores = kernels.viterbi_pallas(
+                jnp.moveaxis(state, 1, 0), trans, lengths,
+                beam_threshold=beam_threshold)
     else:
         if beam_threshold is not None:
             raise NotImplementedError(

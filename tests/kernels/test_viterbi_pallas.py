@@ -78,3 +78,62 @@ def test_viterbi_kernel_topology(rng):
     for b in range(2):
         for t in range(1, int(lengths[b])):
             assert mask[p[b, t - 1], p[b, t]]
+
+
+@pytest.mark.parametrize("P,NS,B,T", [(3, 2, 2, 10), (48, 3, 3, 17),
+                                      (5, 4, 2, 9)])
+def test_viterbi_nstate_factored_matches_dense(rng, P, NS, B, T):
+    """The topology-factored kernel equals the dense kernel (and the
+    oracle) on topology-masked transition matrices."""
+    from asr_craft_tpu.kernels.viterbi_pallas import viterbi_pallas_nstate
+    from asr_craft_tpu.models.topology import Topology
+    topo = Topology(num_labels=P, num_states=NS)
+    L = topo.num_expanded
+    state = rng.normal(size=(B, T, L)).astype(np.float32)
+    # start/end boundary masking like apply_boundaries, to exercise the
+    # realistic potentials shape
+    state[:, 0] += topo.start_penalty()
+    trans = (rng.normal(size=(L, L)).astype(np.float32)
+             + topo.transition_penalty())
+    lengths = rng.integers(NS, T + 1, size=B).astype(np.int32)
+    lengths[0] = T
+    s_tm = jnp.moveaxis(jnp.asarray(state), 1, 0)
+    t, n = jnp.asarray(trans), jnp.asarray(lengths)
+    p_ref, s_ref = viterbi_pallas(s_tm, t, n, interpret=True)
+    p_f, s_f = viterbi_pallas_nstate(s_tm, t, n, NS, interpret=True)
+    np.testing.assert_allclose(np.asarray(s_f), np.asarray(s_ref),
+                               rtol=1e-5, atol=1e-5)
+    for b in range(B):
+        np.testing.assert_array_equal(np.asarray(p_f)[b, :lengths[b]],
+                                      np.asarray(p_ref)[b, :lengths[b]])
+        ref_path, ref_score = oracle.viterbi_np(state[b], trans, lengths[b])
+        np.testing.assert_allclose(np.asarray(s_f)[b], ref_score,
+                                   rtol=5e-4, atol=5e-5)
+        np.testing.assert_array_equal(np.asarray(p_f)[b, :lengths[b]],
+                                      ref_path)
+
+
+def test_viterbi_nstate_beam_threshold(rng):
+    from asr_craft_tpu.kernels.viterbi_pallas import viterbi_pallas_nstate
+    from asr_craft_tpu.models.topology import Topology
+    topo = Topology(num_labels=6, num_states=3)
+    L = topo.num_expanded
+    B, T = 2, 12
+    state = rng.normal(size=(B, T, L)).astype(np.float32)
+    trans = (rng.normal(size=(L, L)).astype(np.float32)
+             + topo.transition_penalty())
+    lengths = np.asarray([T, 8], np.int32)
+    s_tm = jnp.moveaxis(jnp.asarray(state), 1, 0)
+    t, n = jnp.asarray(trans), jnp.asarray(lengths)
+    p_exact, s_exact = viterbi_pallas_nstate(s_tm, t, n, 3, interpret=True)
+    p_wide, s_wide = viterbi_pallas_nstate(s_tm, t, n, 3, beam_threshold=1e9,
+                                           interpret=True)
+    np.testing.assert_array_equal(np.asarray(p_exact), np.asarray(p_wide))
+    p_nar, s_nar = viterbi_pallas_nstate(s_tm, t, n, 3, beam_threshold=0.5,
+                                         interpret=True)
+    assert (np.asarray(s_nar) <= np.asarray(s_exact) + 1e-5).all()
+    mask = topo.transition_mask()
+    p = np.asarray(p_nar)
+    for b in range(B):
+        for tt in range(1, int(lengths[b])):
+            assert mask[p[b, tt - 1], p[b, tt]]
