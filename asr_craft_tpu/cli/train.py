@@ -77,6 +77,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--l2", type=float, default=0.0)
     p.add_argument("--weight_avg", type=int, default=0)
     p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--accum_steps", type=int, default=1,
+                   help="gradient accumulation micro-batches per update "
+                        "(the reference's bunch-SGD analogue)")
+    p.add_argument("--steps_per_call", type=int, default=1,
+                   help="fuse K optimizer steps into one jit dispatch "
+                        "(lax.scan over K stacked batches)")
     p.add_argument("--bucket_sizes", default="128,256,512,1024,2048")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out_dir", default="./crf_out")
@@ -138,6 +144,7 @@ def main(argv=None) -> int:
         lr=args.crf_lr, lr_decay=args.crf_lr_decay, epochs=args.crf_epochs,
         momentum=args.momentum, optimizer=args.optimizer, l2=args.l2,
         weight_avg=bool(args.weight_avg), log_every=args.log_every,
+        accum_steps=args.accum_steps, steps_per_call=args.steps_per_call,
         out_dir=args.out_dir, profile_dir=args.profile_dir,
         check_sync_every=args.check_sync_every)
     logger = MetricsLogger(os.path.join(args.out_dir, "metrics.jsonl"))

@@ -48,6 +48,12 @@ class TrainConfig:
     # gradient accumulation over K micro-batches before each update (the
     # reference's "bunch"-SGD analogue; also the OOM-escape hatch)
     accum_steps: int = 1
+    # fuse K optimizer steps into ONE jit call (lax.scan over K stacked
+    # batches).  The reference dispatches one utterance at a time from the
+    # host; on TPU the per-dispatch host latency (~1.6 ms over a remote
+    # runtime) would dominate the ~2 ms device step, so the production
+    # driver stages K batches on device and scans.  1 = off.
+    steps_per_call: int = 1
     log_every: int = 50
     frame_shift_s: float = 0.01     # 10ms frames: audio-seconds metric
     out_dir: Optional[str] = None   # per-epoch weight files + metrics.jsonl
@@ -117,8 +123,7 @@ def make_train_step(cfg: CrfConfig, tc: TrainConfig,
                 avg_params, params)
         return params, opt_state, avg_params
 
-    @jax.jit
-    def step(params, opt_state, avg_params, batch, lr):
+    def _step_impl(params, opt_state, avg_params, batch, lr):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch)
         updates, opt_state = base_opt.update(grads, opt_state, params)
@@ -137,17 +142,34 @@ def make_train_step(cfg: CrfConfig, tc: TrainConfig,
                    "frames": aux["frames"]}
         return params, opt_state, avg_params, metrics
 
-    return _StepFns(step, grad_step, apply_step), base_opt
+    step = jax.jit(_step_impl)
+
+    @jax.jit
+    def multi_step(params, opt_state, avg_params, stacked, lr):
+        """K fused optimizer steps: lax.scan over a (K, ...)-stacked batch
+        tree.  One host dispatch per K steps — the multi-step driver that
+        keeps the chip busy past per-call host latency.  Returns metrics
+        with a leading (K,) axis."""
+        def body(carry, batch):
+            p, o, a = carry
+            p, o, a, m = _step_impl(p, o, a, batch, lr)
+            return (p, o, a), m
+        (params, opt_state, avg_params), metrics = jax.lax.scan(
+            body, (params, opt_state, avg_params), stacked)
+        return params, opt_state, avg_params, metrics
+
+    return _StepFns(step, grad_step, apply_step, multi_step), base_opt
 
 
 class _StepFns:
     """Callable fused step + the (grad_step, apply_step) pair used for
-    gradient accumulation."""
+    gradient accumulation and the K-fused ``multi_step`` driver."""
 
-    def __init__(self, step, grad_step, apply_step):
+    def __init__(self, step, grad_step, apply_step, multi_step=None):
         self._step = step
         self.grad_step = grad_step
         self.apply_step = apply_step
+        self.multi_step = multi_step
 
     def __call__(self, *args):
         return self._step(*args)
@@ -204,12 +226,52 @@ class Trainer:
         losses = []
         lr = jnp.float32(self.current_lr())
         accum = max(1, self.tc.accum_steps)
+        spc = max(1, self.tc.steps_per_call)
         grad_acc, n_acc = None, 0
+        pending = []                     # same-shape batches awaiting a fused call
+
+        def flush_pending():
+            """Run buffered batches through one fused multi_step call."""
+            nonlocal pending
+            if not pending:
+                return
+            if len(pending) == 1:
+                self.params, self.opt_state, self.avg_params, m = \
+                    self.step_fn(self.params, self.opt_state,
+                                 self.avg_params, pending[0], lr)
+                ms = jax.tree.map(lambda x: jnp.asarray(x)[None], m)
+            else:
+                stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *pending)
+                self.params, self.opt_state, self.avg_params, ms = \
+                    self.step_fn.multi_step(self.params, self.opt_state,
+                                            self.avg_params, stacked, lr)
+            k = len(pending)
+            pending = []
+            nonlocal frames
+            for i in range(k):
+                self.step += 1
+                losses.append(float(ms["loss"][i]))
+                frames += int(ms["frames"][i])
+                if self.step % self.tc.log_every == 0:
+                    self.logger.log(
+                        "train_step", step=self.step, epoch=self.epoch,
+                        loss=float(ms["loss"][i]),
+                        grad_norm=float(ms["grad_norm"][i]),
+                        mean_logZ=float(ms["mean_logZ"][i]))
+
         for batch in loader.epoch_batches(self.epoch):
             jb = {k: jnp.asarray(v) for k, v in batch.items()
                   if k in ("feats", "labels", "lengths")}
             if put is not None:
                 jb = put(jb)
+            if spc > 1 and accum == 1:
+                shape = jb["feats"].shape
+                if pending and pending[-1]["feats"].shape != shape:
+                    flush_pending()       # bucket boundary: new scan shape
+                pending.append(jb)
+                if len(pending) == spc:
+                    flush_pending()
+                continue
             with diagnostics.step_annotation("train", self.step):
                 if accum == 1:
                     self.params, self.opt_state, self.avg_params, m = \
@@ -238,6 +300,7 @@ class Trainer:
                                 epoch=self.epoch, loss=float(m["loss"]),
                                 grad_norm=float(m.get("grad_norm", 0.0)),
                                 mean_logZ=float(m["mean_logZ"]))
+        flush_pending()                   # trailing partial fused window
         if grad_acc is not None and n_acc:
             # trailing partial accumulation at epoch end
             self.params, self.opt_state, self.avg_params = \

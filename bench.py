@@ -30,28 +30,35 @@ B, T = 64, 512
 FRAME_S = 0.01  # 10 ms frames
 
 
-def bench_train_step(steps=30, warmup=3):
+def bench_train_step(calls=6, spc=8, warmup=1):
+    """Production driver: K=spc optimizer steps fused per dispatch
+    (TrainConfig.steps_per_call) — host dispatch latency amortized."""
+    import jax
     import jax.numpy as jnp
     from __graft_entry__ import _flagship, _tiny_batch
     from asr_craft_tpu.train import TrainConfig, make_train_step
 
     cfg = _flagship()
-    tc = TrainConfig(lr=0.1)
+    tc = TrainConfig(lr=0.1, steps_per_call=spc)
     params = cfg.init_params(scale=0.01)
     step_fn, opt = make_train_step(cfg, tc)
     opt_state = opt.init(params)
     avg = params
     batch = _tiny_batch(cfg, B=B, T=T)
+    stacked = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (spc,) + x.shape), batch)
     lr = jnp.float32(tc.lr)
 
     for _ in range(warmup):
-        params, opt_state, avg, m = step_fn(params, opt_state, avg, batch, lr)
-    float(m["loss"])
+        params, opt_state, avg, ms = step_fn.multi_step(
+            params, opt_state, avg, stacked, lr)
+    float(ms["loss"][-1])
     t0 = time.perf_counter()
-    for _ in range(steps):
-        params, opt_state, avg, m = step_fn(params, opt_state, avg, batch, lr)
-    float(m["loss"])  # host fetch: forces the full dependency chain
-    dt = (time.perf_counter() - t0) / steps
+    for _ in range(calls):
+        params, opt_state, avg, ms = step_fn.multi_step(
+            params, opt_state, avg, stacked, lr)
+    float(ms["loss"][-1])  # host fetch: forces the full dependency chain
+    dt = (time.perf_counter() - t0) / (calls * spc)
     return B * T * FRAME_S / dt
 
 

@@ -80,3 +80,42 @@ def test_lbfgs_optimizer_trains():
     assert last["mean_loss"] < first["mean_loss"]
     for leaf in jax.tree.leaves(tr.params):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_steps_per_call_matches_sequential():
+    """Fused multi-step (lax.scan over K batches) must produce the exact
+    same params and per-step losses as K sequential single steps."""
+    cfg = CrfConfig(num_labels=4, feat_dim=4)
+    loader = _setup()
+    tc_seq = TrainConfig(lr=0.3, epochs=1, log_every=1000)
+    tc_fused = TrainConfig(lr=0.3, epochs=1, steps_per_call=3,
+                           log_every=1000)
+    tr_seq = Trainer(cfg, tc_seq, logger=MetricsLogger(quiet=True))
+    tr_fused = Trainer(cfg, tc_fused, params=jax.tree.map(
+        jnp.copy, tr_seq.params), logger=MetricsLogger(quiet=True))
+    out_seq = tr_seq.train_epoch(loader)
+    out_fused = tr_fused.train_epoch(loader)
+    assert tr_seq.step == tr_fused.step
+    np.testing.assert_allclose(out_seq["mean_loss"], out_fused["mean_loss"],
+                               rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(tr_seq.params),
+                    jax.tree.leaves(tr_fused.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-6)
+
+
+def test_steps_per_call_bucket_boundary_flush():
+    """Mixed bucket shapes force partial fused windows; step count and
+    trailing flush must still cover every batch."""
+    cfg_syn = data.SyntheticConfig(num_labels=4, feat_dim=4, noise=0.3,
+                                   min_len=10, max_len=60, seed=1)
+    feats, labels, _ = data.generate_corpus(cfg_syn, 20)
+    loader = data.UtteranceLoader(
+        feats, labels, data.LoaderConfig(batch_size=4, buckets=(32, 64),
+                                         shuffle=False))
+    n_batches = sum(1 for _ in loader.epoch_batches(0))
+    cfg = CrfConfig(num_labels=4, feat_dim=4)
+    tc = TrainConfig(lr=0.3, epochs=1, steps_per_call=4, log_every=1000)
+    tr = Trainer(cfg, tc, logger=MetricsLogger(quiet=True))
+    tr.train_epoch(loader)
+    assert tr.step == n_batches
