@@ -49,6 +49,26 @@ def build_parser() -> argparse.ArgumentParser:
                    help="top-k pruning (None = exact)")
     p.add_argument("--beam_threshold", type=float, default=None,
                    help="score-margin pruning (Pallas path)")
+    # --- FST word decode (the reference CRFFstDecode mode) ---
+    p.add_argument("--lexicon", help="pronunciation lexicon: one "
+                   "'word ph1 ph2 ...' per line (phone names resolved via "
+                   "--phone_names, else integer ids); enables word decode")
+    p.add_argument("--lm", help="word LM as an FST text file "
+                   "(1-based word ids in lexicon order)")
+    p.add_argument("--lm_weight", type=float, default=1.0)
+    p.add_argument("--prune_margin", type=float, default=None,
+                   help="lattice beam: drop arcs more than this margin "
+                   "below the frame-best path score")
+    p.add_argument("--nbest", type=int, default=1,
+                   help="emit the n best word sequences (--out_nbest)")
+    p.add_argument("--out_words", help="write 'key w1 w2 ...' hypotheses")
+    p.add_argument("--out_nbest", help="write 'key score w1 w2 ...' n-best")
+    p.add_argument("--ref_words", help="reference transcripts "
+                   "('key w1 w2 ...' lines) for WER scoring")
+    p.add_argument("--out_lattice_dir",
+                   help="write per-utterance lattices as FST text files")
+    p.add_argument("--fst_backend", choices=["auto", "py", "native"],
+                   default="auto")
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--bucket_sizes", default="128,256,512,1024,2048")
     p.add_argument("--timit_fold", action="store_true",
@@ -92,6 +112,9 @@ def main(argv=None) -> int:
         with open(args.phone_names) as f:
             names = [ln.strip() for ln in f if ln.strip()]
 
+    if args.lexicon:
+        return _word_decode(args, cfg, params, loader, names, logger)
+
     fold = timit_fold_indices() if args.timit_fold else None
     scorer = ErrorRateScorer()
     hyp_mlf = {}
@@ -133,6 +156,91 @@ def main(argv=None) -> int:
         logger.log("decode_done", per=scorer.error_rate, **scorer.summary())
     else:
         logger.log("decode_done", utts=len(hyp_mlf))
+    return 0
+
+
+def _word_decode(args, cfg, params, loader, names, logger) -> int:
+    """FST word decode: potentials on-chip, lattice o collapser o lexicon
+    [o LM] -> shortest path on host (reference ``CRFFstDecode``,
+    SURVEY.md §3.2)."""
+    import jax
+
+    from asr_craft_tpu.decode import fst as F
+    from asr_craft_tpu.models.crf import apply_boundaries, potentials
+
+    phone_index = {n: i for i, n in enumerate(names)} if names else None
+    lexicon, words = F.read_lexicon(args.lexicon, phone_index)
+    lm = F.read_fst_text(args.lm) if args.lm else None
+
+    refs = None
+    if args.ref_words:
+        refs = {}
+        with open(args.ref_words) as f:
+            for line in f:
+                parts = line.split()
+                if parts:
+                    refs[parts[0]] = parts[1:]
+
+    @jax.jit
+    def pot_fn(feats, lengths):
+        state, trans = potentials(cfg, params, feats)
+        return apply_boundaries(cfg, state, lengths), trans
+
+    scorer = ErrorRateScorer()
+    hyps, nbest_out = {}, {}
+    for batch in loader.epoch_batches(0):
+        state, trans = pot_fn(jnp.asarray(batch["feats"]),
+                              jnp.asarray(batch["lengths"]))
+        state, trans = np.asarray(state), np.asarray(trans)
+        for r, uid in enumerate(batch["uids"]):
+            if uid < 0:
+                continue
+            n = int(batch["lengths"][r])
+            tr = trans if trans.ndim == 2 else trans[r, :n]
+            kw = dict(lm=lm, lm_weight=args.lm_weight,
+                      prune_margin=args.prune_margin,
+                      num_states=cfg.num_states, backend=args.fst_backend)
+            key = f"utt{int(uid):06d}"
+            if args.out_lattice_dir:
+                os.makedirs(args.out_lattice_dir, exist_ok=True)
+                lat = F.lattice_fst(state[r], tr, n, args.prune_margin,
+                                    num_states=cfg.num_states)
+                F.write_fst_text(
+                    lat, os.path.join(args.out_lattice_dir, f"{key}.fst.txt"))
+            try:
+                if args.nbest > 1:
+                    nb = F.decode_words_nbest(state[r], tr, n, lexicon,
+                                              words, args.nbest, **kw)
+                    nbest_out[key] = [(w, wseq) for wseq, _, w in nb]
+                    wseq = nb[0][0] if nb else []
+                else:
+                    wseq, _, _ = F.decode_words(state[r], tr, n, lexicon,
+                                                words, **kw)
+            except ValueError:
+                # no accepting path (over-pruned lattice or lexicon cannot
+                # cover the utterance) -> empty hypothesis, like the
+                # reference's failed-utterance behavior
+                logger.log("decode_fail", utt=key)
+                wseq = []
+            hyps[key] = wseq
+            if refs is not None and key in refs:
+                scorer.add(refs[key], wseq)
+
+    if args.out_words:
+        os.makedirs(os.path.dirname(args.out_words) or ".", exist_ok=True)
+        with open(args.out_words, "w") as f:
+            for key in sorted(hyps):
+                f.write(f"{key} {' '.join(hyps[key])}\n")
+    if args.out_nbest:
+        os.makedirs(os.path.dirname(args.out_nbest) or ".", exist_ok=True)
+        with open(args.out_nbest, "w") as f:
+            for key in sorted(nbest_out):
+                for w, wseq in nbest_out[key]:
+                    f.write(f"{key} {w:.4f} {' '.join(wseq)}\n")
+    if refs is not None:
+        logger.log("decode_done", wer=scorer.error_rate, **scorer.summary())
+    else:
+        logger.log("decode_done", utts=len(hyps))
     return 0
 
 

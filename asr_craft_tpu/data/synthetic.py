@@ -75,6 +75,55 @@ def generate_corpus(cfg: SyntheticConfig, num_utts: int):
     return feats, labels, phones
 
 
+@dataclasses.dataclass
+class WordCorpusConfig:
+    """Synthetic word-level corpus for exercising the FST decode path
+    (lexicon composition + WER).  Words get DISJOINT phone inventories so
+    the phone-sequence -> word-sequence map is unambiguous and a correct
+    decoder reaches ~0 WER on clean data."""
+
+    num_words: int = 8
+    min_pron: int = 2             # phones per word
+    max_pron: int = 4
+    min_words: int = 2            # words per utterance
+    max_words: int = 6
+    mean_dur: float = 5.0         # frames per phone
+    min_dur: int = 2
+    noise: float = 0.3
+    seed: int = 0
+
+
+def generate_word_corpus(cfg: WordCorpusConfig, num_utts: int):
+    """Returns (feats, frame_labels, word_seqs, lexicon, words):
+    ``lexicon`` maps word -> phone-id list; ``words`` is the word list;
+    features are noisy one-hot phone posteriors (feat_dim = num phones)."""
+    rng = np.random.default_rng(cfg.seed)
+    lexicon, words = {}, []
+    next_ph = 0
+    for w in range(cfg.num_words):
+        k = int(rng.integers(cfg.min_pron, cfg.max_pron + 1))
+        word = f"w{w:02d}"
+        lexicon[word] = list(range(next_ph, next_ph + k))
+        words.append(word)
+        next_ph += k
+    num_phones = next_ph
+
+    feats, frame_labels, word_seqs = [], [], []
+    for _ in range(num_utts):
+        nw = int(rng.integers(cfg.min_words, cfg.max_words + 1))
+        wseq = [words[int(rng.integers(cfg.num_words))] for _ in range(nw)]
+        phones = [p for w in wseq for p in lexicon[w]]
+        durs = rng.poisson(cfg.mean_dur - cfg.min_dur,
+                           size=len(phones)) + cfg.min_dur
+        labels = np.repeat(np.asarray(phones, np.int32), durs)
+        x = np.eye(num_phones, dtype=np.float32)[labels]
+        x += rng.normal(scale=cfg.noise, size=x.shape).astype(np.float32)
+        feats.append(x)
+        frame_labels.append(labels)
+        word_seqs.append(wseq)
+    return feats, frame_labels, word_seqs, lexicon, words
+
+
 def nstate_frame_labels(frame_labels: np.ndarray, num_states: int) -> np.ndarray:
     """Expand phone frame labels to a topology-legal state path: each phone
     run spends roughly equal time in each of its left-to-right states (a

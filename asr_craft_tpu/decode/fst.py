@@ -70,39 +70,92 @@ def linear_acceptor(labels: Sequence[int], weights=None) -> Fst:
 
 
 def lattice_fst(log_phi_state: np.ndarray, log_phi_trans: np.ndarray,
-                length: int, prune_margin: Optional[float] = None) -> Fst:
-    """Per-utterance phone lattice (the CRF_LatticeBuilder analogue).
+                length: int, prune_margin: Optional[float] = None,
+                num_states: int = 1) -> Fst:
+    """Per-utterance frame lattice (the CRF_LatticeBuilder analogue).
 
     States: (t, label) + a start superstate; one arc per (t, prev, lab) with
     weight ``-(state[t, lab] + trans[prev, lab])`` (negative log potential).
     ``prune_margin``: drop arcs into (t, lab) whose best path score falls
     more than the margin below the frame's best (lattice beam).
-    Labels are emitted 1-based (0 reserved for epsilon).
+    Arcs whose potential is -inf (topology/boundary masking) are dropped.
+
+    Input labels are the expanded-state ids (1-based; 0 = epsilon); output
+    labels are the PHONE ids (``lab // num_states + 1``), so composing with
+    :func:`collapser_fst` + a lexicon works for any n-state topology.
+    Construction is vectorized (one numpy block per frame), not per-arc.
     """
     state = np.asarray(log_phi_state, np.float64)[:length]
-    trans = np.asarray(log_phi_trans, np.float64)
+    trans = np.asarray(log_phi_trans, np.float64)  # (L, L) or (T, L, L)
     T, L = state.shape
-    sid = lambda t, l: 1 + t * L + l
-    arcs = []
-    # forward viterbi scores for pruning
+    trans_t = ((lambda t: trans) if trans.ndim == 2
+               else (lambda t: trans[t]))
+    phone_of = np.arange(L, dtype=np.int32) // num_states + 1
+    srcs, dsts, ils, ols, wgts = [], [], [], [], []
+
+    def sid(t, l):  # lattice state id for (frame t, expanded label l)
+        return 1 + t * L + l
+
+    # frame 0 arcs from the start superstate
+    keep_prev = np.isfinite(state[0])
+    l0 = np.nonzero(keep_prev)[0].astype(np.int32)
+    srcs.append(np.zeros(len(l0), np.int32))
+    dsts.append(sid(0, l0).astype(np.int32))
+    ils.append(l0 + 1)
+    ols.append(phone_of[l0])
+    wgts.append(-state[0, l0])
+
     delta = state[0].copy()
-    keep_prev = np.ones(L, bool)
-    for l in range(L):
-        arcs.append((0, sid(0, l), l + 1, l + 1, -state[0, l]))
     for t in range(1, T):
-        cand = delta[:, None] + trans + state[t][None, :]
+        tr = trans_t(t)
+        cand = delta[:, None] + tr + state[t][None, :]
         new = cand.max(axis=0)
+        keep = np.isfinite(new)
         if prune_margin is not None:
-            keep = new >= new.max() - prune_margin
-        else:
-            keep = np.ones(L, bool)
-        for l in np.nonzero(keep)[0]:
-            for p in np.nonzero(keep_prev)[0]:
-                arcs.append((sid(t - 1, p), sid(t, l), l + 1, l + 1,
-                             -(state[t, l] + trans[p, l])))
+            keep &= new >= new.max() - prune_margin
+        li = np.nonzero(keep)[0].astype(np.int32)
+        pi = np.nonzero(keep_prev)[0].astype(np.int32)
+        # arc weight -(state[t,l] + trans[p,l]); drop -inf (masked) arcs
+        w = -(state[t, li][None, :] + tr[np.ix_(pi, li)])  # (P, K)
+        ok = np.isfinite(w)
+        pj, lj = np.nonzero(ok)
+        srcs.append(sid(t - 1, pi[pj]).astype(np.int32))
+        dsts.append(sid(t, li[lj]).astype(np.int32))
+        ils.append(li[lj] + 1)
+        ols.append(phone_of[li[lj]])
+        wgts.append(w[pj, lj])
         delta, keep_prev = new, keep
-    finals = {sid(T - 1, l): 0.0 for l in np.nonzero(keep_prev)[0]}
-    return Fst.from_arcs(1 + T * L, 0, arcs, finals)
+
+    final = np.full((1 + T * L,), np.inf, np.float32)
+    final[sid(T - 1, np.nonzero(keep_prev)[0])] = 0.0
+    return Fst(1 + T * L, 0,
+               np.concatenate(srcs), np.concatenate(dsts),
+               np.concatenate(ils), np.concatenate(ols),
+               np.concatenate(wgts).astype(np.float32), final)
+
+
+def collapser_fst(num_phones: int) -> Fst:
+    """Frame-run collapser transducer C: maps a sequence of per-frame phone
+    labels to its run-collapsed phone sequence (repeats -> epsilon output),
+    exactly :func:`asr_craft_tpu.decode.scorer.collapse_frames` semantics.
+
+    Composing ``frame_lattice o C o lexicon`` lets the loop-free lexicon
+    trie match multi-frame phones — the FST-land equivalent of the
+    reference decoder's frame-to-phone collapsing before word lookup.
+    State 0 = start; state p+1 = "last phone was p".  All states final.
+    Note: adjacent IDENTICAL phones merge (no way to say "aa" as two a's),
+    matching the frame-label representation's inherent limit.
+    """
+    L = num_phones
+    arcs = []
+    for p in range(L):
+        arcs.append((0, p + 1, p + 1, p + 1, 0.0))       # first frame
+        arcs.append((p + 1, p + 1, p + 1, 0, 0.0))       # repeat -> eps
+        for q in range(L):
+            if q != p:
+                arcs.append((p + 1, q + 1, q + 1, q + 1, 0.0))
+    finals = {s: 0.0 for s in range(L + 1)}
+    return Fst.from_arcs(L + 1, 0, arcs, finals)
 
 
 def lexicon_fst(lexicon: Dict[str, Sequence[int]],
@@ -320,26 +373,94 @@ def shortest_paths_n(f: Fst, n: int):
     return out
 
 
-def decode_words(log_phi_state, log_phi_trans, length,
-                 lexicon: Dict[str, Sequence[int]], words: List[str],
-                 lm: Optional[Fst] = None,
-                 prune_margin: Optional[float] = None,
-                 lm_weight: float = 1.0,
-                 backend: str = "auto") -> Tuple[List[str], List[int], float]:
-    """Full word decode: lattice o lexicon [o LM] -> shortest path.
-
-    Returns (word sequence, phone sequence, path weight)."""
+def compose_decode_graph(log_phi_state, log_phi_trans, length,
+                         lexicon: Dict[str, Sequence[int]],
+                         words: List[str],
+                         lm: Optional[Fst] = None,
+                         prune_margin: Optional[float] = None,
+                         lm_weight: float = 1.0,
+                         num_states: int = 1,
+                         backend: str = "auto") -> Fst:
+    """``frame_lattice o collapser o lexicon [o LM]`` — the acyclic search
+    graph whose shortest path is the best word sequence.  Input labels are
+    expanded-state ids; output labels are word ids (1-based)."""
     lat = lattice_fst(np.asarray(log_phi_state), np.asarray(log_phi_trans),
-                      int(length), prune_margin)
+                      int(length), prune_margin, num_states=num_states)
     ops = get_backend(backend)
-    lw = ops.compose(lat, lexicon_fst(lexicon, words))
+    num_phones = log_phi_state.shape[-1] // num_states
+    lw = ops.compose(lat, collapser_fst(num_phones))
+    lw = ops.compose(lw, lexicon_fst(lexicon, words))
     if lm is not None:
         if lm_weight != 1.0:
             lm = dataclasses.replace(lm, weight=lm.weight * lm_weight,
                                      final=lm.final * lm_weight)
         lw = ops.compose(lw, lm)
-    phones, wids, weight = ops.shortest_path(lw)
-    return [words[w - 1] for w in wids], [p - 1 for p in phones], weight
+    return lw
+
+
+def decode_words(log_phi_state, log_phi_trans, length,
+                 lexicon: Dict[str, Sequence[int]], words: List[str],
+                 lm: Optional[Fst] = None,
+                 prune_margin: Optional[float] = None,
+                 lm_weight: float = 1.0,
+                 num_states: int = 1,
+                 backend: str = "auto") -> Tuple[List[str], List[int], float]:
+    """Full word decode: lattice o collapser o lexicon [o LM] -> shortest
+    path (the ``CRFFstDecode`` pipeline, SURVEY.md §3.2).
+
+    Returns (word sequence, expanded-state frame path, path weight)."""
+    lw = compose_decode_graph(log_phi_state, log_phi_trans, length, lexicon,
+                              words, lm, prune_margin, lm_weight, num_states,
+                              backend)
+    ops = get_backend(backend)
+    states, wids, weight = ops.shortest_path(lw)
+    return [words[w - 1] for w in wids], [s - 1 for s in states], weight
+
+
+def decode_words_nbest(log_phi_state, log_phi_trans, length,
+                       lexicon: Dict[str, Sequence[int]], words: List[str],
+                       n: int,
+                       lm: Optional[Fst] = None,
+                       prune_margin: Optional[float] = None,
+                       lm_weight: float = 1.0,
+                       num_states: int = 1,
+                       backend: str = "auto"):
+    """N-best word decode (``fst::ShortestPath(n)`` parity).  Returns a list
+    of (word sequence, expanded-state frame path, weight), best first."""
+    lw = compose_decode_graph(log_phi_state, log_phi_trans, length, lexicon,
+                              words, lm, prune_margin, lm_weight, num_states,
+                              backend)
+    out = []
+    for states, wids, weight in shortest_paths_n(lw, n):
+        out.append(([words[w - 1] for w in wids],
+                    [s - 1 for s in states], weight))
+    return out
+
+
+def read_lexicon(path, phone_index: Optional[Dict[str, int]] = None
+                 ) -> Tuple[Dict[str, List[int]], List[str]]:
+    """Parse a pronunciation lexicon: one ``word ph1 ph2 ...`` per line.
+    Phones are looked up in ``phone_index`` (name -> 0-based id) when given,
+    else parsed as integer ids.  Returns (lexicon, word list in file order).
+    """
+    lexicon: Dict[str, List[int]] = {}
+    words: List[str] = []
+    with open(path) as fh:
+        for line in fh:
+            parts = line.split()
+            if not parts or parts[0].startswith("#"):
+                continue
+            word, phs = parts[0], parts[1:]
+            if not phs:
+                raise ValueError(f"lexicon: no pronunciation for {word!r}")
+            ids = [phone_index[p] if phone_index else int(p) for p in phs]
+            if word in lexicon:
+                raise ValueError(
+                    f"lexicon: duplicate entry {word!r} (one pronunciation "
+                    "per word; use distinct word symbols for variants)")
+            lexicon[word] = ids
+            words.append(word)
+    return lexicon, words
 
 
 def write_fst_text(f: Fst, path) -> None:

@@ -53,6 +53,74 @@ def test_lexicon_compose_decodes_words(rng):
     assert phones == [0, 1, 2, 1, 0]
 
 
+def test_collapser_multiframe_phones():
+    """Phones spanning several frames must still match the loop-free
+    lexicon trie (frame lattice o collapser o lexicon)."""
+    words = ["ab", "c"]
+    lexicon = {"ab": [0, 1], "c": [2]}
+    frames = [0, 0, 0, 1, 1, 2, 2, 2]
+    T, L = len(frames), 3
+    state = np.full((T, L), -5.0, np.float32)
+    for t, p in enumerate(frames):
+        state[t, p] = 0.0
+    trans = np.zeros((L, L), np.float32)
+    wseq, path, _ = F.decode_words(state, trans, T, lexicon, words)
+    assert wseq == ["ab", "c"]
+    assert path == frames
+
+
+def test_word_decode_nstate():
+    """Word decode over an expanded n-state topology: lattice input labels
+    are expanded states, output labels are phones."""
+    from asr_craft_tpu.models.topology import Topology
+    topo = Topology(3, 2)  # 3 phones x 2 states
+    trans = topo.transition_penalty().astype(np.float32)
+    # expanded-state path 0 1 1 2 3 4 5 5 = phones a a a b b c c c
+    path = [0, 1, 1, 2, 3, 4, 5, 5]
+    T, Lx = len(path), topo.num_expanded
+    state = np.full((T, Lx), -5.0, np.float32)
+    for t, s in enumerate(path):
+        state[t, s] = 0.0
+    words = ["ab", "c"]
+    lexicon = {"ab": [0, 1], "c": [2]}
+    wseq, spath, _ = F.decode_words(state, trans, T, lexicon, words,
+                                    num_states=2)
+    assert wseq == ["ab", "c"]
+    assert spath == path
+
+
+def test_read_lexicon(tmp_path):
+    p = tmp_path / "lex.txt"
+    p.write_text("# comment\nfoo 0 2\nbar 1\n")
+    lex, words = F.read_lexicon(p)
+    assert words == ["foo", "bar"]
+    assert lex == {"foo": [0, 2], "bar": [1]}
+    p2 = tmp_path / "named.txt"
+    p2.write_text("foo a c\n")
+    lex2, _ = F.read_lexicon(p2, {"a": 0, "b": 1, "c": 2})
+    assert lex2 == {"foo": [0, 2]}
+    p3 = tmp_path / "dup.txt"
+    p3.write_text("foo 0\nfoo 1\n")
+    with pytest.raises(ValueError):
+        F.read_lexicon(p3)
+
+
+def test_lattice_frame_dependent_trans(rng):
+    """(T, L, L) per-frame transition potentials in the lattice."""
+    T, L = 7, 4
+    state = rng.normal(size=(T, L)).astype(np.float32)
+    trans = rng.normal(size=(T, L, L)).astype(np.float32)
+    lat = F.lattice_fst(state, trans, T)
+    ilabs, _, w = F.shortest_path(lat)
+    best = -np.inf
+    import itertools
+    for p in itertools.product(range(L), repeat=T):
+        s = state[0, p[0]] + sum(
+            state[t, p[t]] + trans[t, p[t - 1], p[t]] for t in range(1, T))
+        best = max(best, s)
+    np.testing.assert_allclose(-w, best, rtol=1e-5)
+
+
 def test_lm_changes_word_choice():
     """Homophone-style ambiguity resolved by the LM."""
     words = ["x", "y"]
