@@ -1,17 +1,15 @@
-"""Shared CLI plumbing: recipe loading, dotted overrides, data assembly.
+"""Shared CLI plumbing: corpus assembly and feature transforms.
 
 Replaces the reference's QuickNet ``QN_ArgEntry`` flag tables (SURVEY.md §5
 config system): flags keep QN-ish names (``--ftr1_file``, ``--crf_lr``,
-``--window_extent``...) for familiarity, while recipes are Python modules
-exposing ``get_config()`` (typed dataclasses, overridable with
-``--set train.lr=0.01``).
+``--window_extent``...) for familiarity.  Recipes (``recipes/*.py``) are
+arg-list drivers on top of these flags — extra CLI args appended to a
+recipe's invocation override its defaults, which is the override mechanism.
 """
 from __future__ import annotations
 
-import dataclasses
-import importlib.util
 import os
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -19,39 +17,6 @@ from asr_craft_tpu import data as data_mod
 from asr_craft_tpu.data import (LoaderConfig, Normalizer, UtteranceLoader,
                                 add_deltas, concat_streams, context_window,
                                 read_pfile, train_cv_split)
-
-
-def load_recipe(path: str) -> Dict[str, Any]:
-    spec = importlib.util.spec_from_file_location("recipe", path)
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod.get_config()
-
-
-def apply_overrides(cfg: Dict[str, Any], sets: List[str]) -> Dict[str, Any]:
-    """--set a.b=value overrides; values parsed as python literals."""
-    import ast
-    for s in sets:
-        key, _, val = s.partition("=")
-        try:
-            val = ast.literal_eval(val)
-        except (ValueError, SyntaxError):
-            pass  # keep string
-        parts = key.split(".")
-        node = cfg
-        for p in parts[:-1]:
-            node = node[p] if isinstance(node, dict) else getattr(node, p)
-        leaf = parts[-1]
-        if isinstance(node, dict):
-            node[leaf] = val
-        elif dataclasses.is_dataclass(node):
-            # frozen dataclasses: replace in parent
-            raise ValueError(
-                f"--set cannot mutate frozen dataclass field {key}; "
-                f"use dict-level keys in the recipe")
-        else:
-            setattr(node, leaf, val)
-    return cfg
 
 
 def build_corpus(args) -> Tuple[list, list, Optional[list]]:
@@ -71,6 +36,19 @@ def build_corpus(args) -> Tuple[list, list, Optional[list]]:
         feats, labels, phones = data_mod.generate_corpus(
             scfg, args.synthetic_utts)
         return feats, labels, phones
+
+    # sparse feature corpus (QuickNet-sparse-stream analogue, data.sparse)
+    from asr_craft_tpu.data import sparse as sparse_mod
+    if args.ftr1_file and sparse_mod.is_sparse_file(args.ftr1_file):
+        corpus = sparse_mod.read_sparse_file(args.ftr1_file)
+        labels = corpus.labels
+        if getattr(args, "hardtarget_file", None):
+            from asr_craft_tpu.data import pfile_native as pn
+            reader = (pn.read_pfile_fast if pn.available() else read_pfile)
+            labels = reader(args.hardtarget_file).labels
+        if labels is not None:
+            labels = [l.astype(np.int32) for l in labels]
+        return corpus.features, labels, None
 
     # native mmap'd reader when built; pure-Python fallback
     from asr_craft_tpu.data import pfile_native
@@ -130,6 +108,13 @@ def _build_htk_corpus(args):
 def make_transform(args, feats: list):
     """Windowing / deltas / normalization pipeline (CRF_FeatureStream
     duties), returns (transform fn, output feat dim)."""
+    from asr_craft_tpu.data.sparse import SparseFeatureList
+    if isinstance(feats, SparseFeatureList):
+        if (getattr(args, "deltas_order", 0) or getattr(args, "window_extent", 0)
+                or getattr(args, "normalize", "none") != "none"):
+            raise ValueError("feature transforms (deltas/window/normalize) "
+                             "are not supported on sparse feature inputs")
+        return None, feats.feat_dim
     steps = []
     if getattr(args, "deltas_order", 0):
         order = args.deltas_order

@@ -40,6 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--crf_label_size", type=int, required=True)
     p.add_argument("--crf_states", type=int, default=1)
     p.add_argument("--crf_featuremap", default="dense")
+    p.add_argument("--sparse_topk", type=int, default=0,
+                   help="with --crf_featuremap sparse on a dense source: "
+                        "keep the K largest-magnitude dims per frame "
+                        "(0 = all dims, i.e. exact)")
     p.add_argument("--crf_stateftr_start", type=int, default=None)
     p.add_argument("--crf_stateftr_end", type=int, default=None)
     p.add_argument("--crf_transftr_start", type=int, default=0)
@@ -90,12 +94,19 @@ def main(argv=None) -> int:
 
     feats, labels, phone_seqs = build_corpus(args)
     transform, feat_dim = make_transform(args, feats)
+    sparse_input = feats and isinstance(feats[0], tuple)
+    if sparse_input and args.crf_featuremap != "sparse":
+        raise SystemExit("sparse feature input requires "
+                         "--crf_featuremap sparse")
+    sparse_k = None
+    if args.crf_featuremap == "sparse" and not sparse_input:
+        sparse_k = args.sparse_topk or feat_dim
     buckets = tuple(int(x) for x in args.bucket_sizes.split(","))
     loader = UtteranceLoader(
         feats, labels,
         LoaderConfig(batch_size=args.batch_size, buckets=buckets,
-                     shuffle=False),
-        transform=transform)
+                     shuffle=False, sparse_k=sparse_k),
+        transform=transform, feat_dim=feat_dim)
 
     state_rng = ((args.crf_stateftr_start, args.crf_stateftr_end)
                  if args.crf_stateftr_start is not None else None)
@@ -120,9 +131,13 @@ def main(argv=None) -> int:
     hyp_mlf = {}
     have_refs = labels is not None or phone_seqs is not None
     for batch in loader.epoch_batches(0):
+        sparse = (None if "sparse_idx" not in batch else
+                  (jnp.asarray(batch["sparse_idx"]),
+                   jnp.asarray(batch["sparse_val"])))
         phones, _, scores = decode(
-            cfg, params, jnp.asarray(batch["feats"]),
-            jnp.asarray(batch["lengths"]),
+            cfg, params,
+            None if sparse else jnp.asarray(batch["feats"]),
+            jnp.asarray(batch["lengths"]), sparse=sparse,
             beam_width=args.beam_width, beam_threshold=args.beam_threshold)
         phones = np.asarray(phones)
         if have_refs:
@@ -182,15 +197,19 @@ def _word_decode(args, cfg, params, loader, names, logger) -> int:
                     refs[parts[0]] = parts[1:]
 
     @jax.jit
-    def pot_fn(feats, lengths):
-        state, trans = potentials(cfg, params, feats)
+    def pot_fn(feats, lengths, sparse=None):
+        state, trans = potentials(cfg, params, feats, sparse)
         return apply_boundaries(cfg, state, lengths), trans
 
     scorer = ErrorRateScorer()
     hyps, nbest_out = {}, {}
     for batch in loader.epoch_batches(0):
-        state, trans = pot_fn(jnp.asarray(batch["feats"]),
-                              jnp.asarray(batch["lengths"]))
+        sparse = (None if "sparse_idx" not in batch else
+                  (jnp.asarray(batch["sparse_idx"]),
+                   jnp.asarray(batch["sparse_val"])))
+        state, trans = pot_fn(
+            None if sparse else jnp.asarray(batch["feats"]),
+            jnp.asarray(batch["lengths"]), sparse)
         state, trans = np.asarray(state), np.asarray(trans)
         for r, uid in enumerate(batch["uids"]):
             if uid < 0:

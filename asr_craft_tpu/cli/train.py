@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--crf_states", type=int, default=1)
     p.add_argument("--crf_featuremap", choices=["dense", "sparse"],
                    default="dense")
+    p.add_argument("--sparse_topk", type=int, default=0,
+                   help="with --crf_featuremap sparse on a dense source: "
+                        "keep the K largest-magnitude dims per frame "
+                        "(0 = all dims, i.e. exact)")
     p.add_argument("--crf_stateftr_start", type=int, default=None)
     p.add_argument("--crf_stateftr_end", type=int, default=None)
     p.add_argument("--crf_transftr_start", type=int, default=0)
@@ -113,18 +117,25 @@ def main(argv=None) -> int:
 
     feats, labels, _ = build_corpus(args)
     transform, feat_dim = make_transform(args, feats)
+    sparse_input = feats and isinstance(feats[0], tuple)
+    if sparse_input and args.crf_featuremap != "sparse":
+        raise SystemExit("sparse feature input requires "
+                         "--crf_featuremap sparse")
+    sparse_k = None
+    if args.crf_featuremap == "sparse" and not sparse_input:
+        sparse_k = args.sparse_topk or feat_dim
     tr_idx, cv_idx = train_cv_split(len(feats), args.cv_fraction, args.seed)
     buckets = tuple(int(x) for x in args.bucket_sizes.split(","))
     train_loader = UtteranceLoader(
         [feats[i] for i in tr_idx], [labels[i] for i in tr_idx],
         LoaderConfig(batch_size=args.batch_size, buckets=buckets,
-                     seed=args.seed, **shard),
-        transform=transform)
+                     seed=args.seed, sparse_k=sparse_k, **shard),
+        transform=transform, feat_dim=feat_dim)
     cv_loader = UtteranceLoader(
         [feats[i] for i in cv_idx], [labels[i] for i in cv_idx],
         LoaderConfig(batch_size=args.batch_size, buckets=buckets,
-                     shuffle=False, **shard),
-        transform=transform)
+                     shuffle=False, sparse_k=sparse_k, **shard),
+        transform=transform, feat_dim=feat_dim)
 
     state_rng = ((args.crf_stateftr_start, args.crf_stateftr_end)
                  if args.crf_stateftr_start is not None else None)

@@ -49,6 +49,8 @@ def batch_shardings(mesh: Mesh, axis: str = "data") -> Dict[str, NamedSharding]:
     """Shardings for a batch dict: leading (utterance) axis sharded."""
     return {
         "feats": NamedSharding(mesh, P(axis, None, None)),
+        "sparse_idx": NamedSharding(mesh, P(axis, None, None)),
+        "sparse_val": NamedSharding(mesh, P(axis, None, None)),
         "labels": NamedSharding(mesh, P(axis, None)),
         "lengths": NamedSharding(mesh, P(axis)),
     }

@@ -4,7 +4,7 @@ The reference checkpoints only flat per-epoch weight files and restarts
 from them (SURVEY.md §5 "failure detection").  Here a checkpoint carries
 ``{params, optimizer state, averaged params, step, epoch, loader state}``
 so ``--resume`` restores mid-training exactly (loss-curve continuity is
-asserted in tests/e2e/test_resume.py), plus the reference-style raw flat
+asserted in tests/e2e/test_toy_timit.py), plus the reference-style raw flat
 weight export lives in models.weights.
 """
 from __future__ import annotations

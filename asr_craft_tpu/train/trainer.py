@@ -98,8 +98,10 @@ def make_train_step(cfg: CrfConfig, tc: TrainConfig,
     base_opt = make_optimizer(dataclasses.replace(tc, lr=1.0))
 
     def loss_fn(params, batch):
-        return crf_mod.crf_loss(cfg, params, batch["feats"], batch["labels"],
-                                batch["lengths"], label_kind=label_kind)
+        return crf_mod.crf_loss(cfg, params, batch.get("feats"),
+                                batch["labels"], batch["lengths"],
+                                sparse=_batch_sparse(batch),
+                                label_kind=label_kind)
 
     @jax.jit
     def grad_step(params, grad_acc, batch):
@@ -175,14 +177,26 @@ class _StepFns:
         return self._step(*args)
 
 
+def _batch_sparse(batch):
+    """(indices, values) from a sparse batch, else None (dense)."""
+    if "sparse_idx" in batch:
+        return (batch["sparse_idx"], batch["sparse_val"])
+    return None
+
+
+# batch dict keys moved to device for the jitted steps
+BATCH_KEYS = ("feats", "labels", "lengths", "sparse_idx", "sparse_val")
+
+
 def make_eval_step(cfg: CrfConfig, label_kind: str = "phone") -> Callable:
     @jax.jit
     def eval_step(params, batch):
-        loss, aux = crf_mod.crf_loss(cfg, params, batch["feats"],
+        sparse = _batch_sparse(batch)
+        loss, aux = crf_mod.crf_loss(cfg, params, batch.get("feats"),
                                      batch["labels"], batch["lengths"],
-                                     label_kind=label_kind)
-        phones, _, _ = crf_mod.decode(cfg, params, batch["feats"],
-                                      batch["lengths"])
+                                     sparse=sparse, label_kind=label_kind)
+        phones, _, _ = crf_mod.decode(cfg, params, batch.get("feats"),
+                                      batch["lengths"], sparse=sparse)
         T = batch["labels"].shape[-1]
         valid = (jnp.arange(T)[None, :] < batch["lengths"][:, None])
         if label_kind == "state":
@@ -261,7 +275,7 @@ class Trainer:
 
         for batch in loader.epoch_batches(self.epoch):
             jb = {k: jnp.asarray(v) for k, v in batch.items()
-                  if k in ("feats", "labels", "lengths")}
+                  if k in BATCH_KEYS}
             if put is not None:
                 jb = put(jb)
             if spc > 1 and accum == 1:
@@ -330,7 +344,7 @@ class Trainer:
         scorer = ErrorRateScorer()
         for batch in loader.epoch_batches(0):
             jb = {k: jnp.asarray(v) for k, v in batch.items()
-                  if k in ("feats", "labels", "lengths")}
+                  if k in BATCH_KEYS}
             m = self.eval_fn(self.params, jb)
             losses.append(float(m["loss"]))
             correct += int(m["correct"])

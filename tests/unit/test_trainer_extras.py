@@ -19,11 +19,9 @@ def _setup(seed=0, n=16):
     return loader
 
 
-def test_accumulation_matches_big_batch():
-    """accum_steps=2 at batch 4 == batch 8 single-step (plain SGD, mean
-    loss normalization by frames differs across micro-batches, so compare
-    against explicitly summed grads instead: losses must simply decrease
-    and params stay finite; exactness checked at the optimizer level)."""
+def test_accumulation_trains():
+    """Training with accum_steps=2 converges and stays finite (the exact
+    grad-sum property is asserted by test_accumulation_exact_grad_sum)."""
     cfg = CrfConfig(num_labels=4, feat_dim=4)
     tc = TrainConfig(lr=0.5, epochs=2, accum_steps=2, log_every=1000)
     tr = Trainer(cfg, tc, logger=MetricsLogger(quiet=True))
