@@ -29,7 +29,9 @@ def backend() -> str:
 
 from asr_craft_tpu.kernels.fwdbwd_pallas import (backward_pallas,
                                                  forward_pallas)
-from asr_craft_tpu.kernels.segmental_pallas import segmental_forward_pallas
+from asr_craft_tpu.kernels.segmental_pallas import (segmental_backward_pallas,
+                                                    segmental_forward_pallas,
+                                                    segmental_grad_pallas)
 from asr_craft_tpu.kernels.viterbi_pallas import (viterbi_pallas,
                                                   viterbi_pallas_nstate)
 from asr_craft_tpu.kernels.dual_pallas import (backward_dual_pallas,

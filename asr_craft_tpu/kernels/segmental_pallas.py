@@ -19,6 +19,12 @@ with the (Dmax*B, L) x (L, L) matmul batched over durations.
 
 Log semiring only (training/scoring); segmental Viterbi decode stays on the
 XLA path (max-plus over durations doesn't factor through exp).
+
+Training at production shapes additionally needs the backward side (round-1
+VERDICT missing #2): ``segmental_backward_pallas`` (beta pass, descending
+grid) and ``segmental_grad_pallas`` (xi pass: frame/bias/trans gradient
+pieces) — the in-kernel mirrors of ops.segmental_stream's scans, consumed
+by its classical-fwd-bwd custom VJP.
 """
 from __future__ import annotations
 
@@ -156,3 +162,238 @@ def segmental_forward_pallas(frame_scores_tm, trans, dur_bias, seg_bias,
     logZ = (m + jnp.log(jnp.maximum(
         jnp.sum(jnp.exp(last - m), axis=-1, keepdims=True), 1e-38)))[:, 0]
     return alphas, logZ
+
+
+def _pad_seg_inputs(cum, trans, bias, lengths):
+    """Shared padding for the backward kernels: (Bp, Lp) tiles, NEG_INF
+    semantics for padded labels, length-1 padded batch rows."""
+    T, B, L = cum.shape
+    Bp, Lp = _round_up(B, _SUBLANE), _round_up(L, _LANE)
+    if (Bp, Lp) != (B, L):
+        cum = jnp.pad(cum, ((0, 0), (0, Bp - B), (0, Lp - L)))
+        trans = jnp.pad(trans, ((0, Lp - L),) * 2, constant_values=NEG_INF)
+        bias = jnp.pad(bias, ((0, 0), (0, Lp - L)), constant_values=NEG_INF)
+        lengths = jnp.pad(lengths, (0, Bp - B), constant_values=1)
+    return cum, trans, bias, lengths, Bp, Lp
+
+
+def _invd2d(max_dur, mean_pool):
+    invd = (1.0 / (jnp.arange(max_dur) + 1.0) if mean_pool
+            else jnp.ones(max_dur))
+    return jnp.broadcast_to(invd[:, None].astype(jnp.float32),
+                            (max_dur, _LANE))
+
+
+def _len2d(lengths, Bp):
+    return jnp.broadcast_to(lengths[:, None].astype(jnp.int32), (Bp, _LANE))
+
+
+def _seg_bwd_kernel(len_ref, cum_ref, M_ref, tmaxr_ref, bias_ref, invd_ref,
+                    betas_ref, beta_buf, cs_buf):
+    # Descending grid: step i handles t = T-1-i; consumes cum[t] = CS[t+1].
+    # beta_buf[j] = beta[t+1+j]; cs_buf[j] = CS[t+2+j].
+    i = pl.program_id(0)
+    T = pl.num_programs(0)
+    t = T - 1 - i
+    Dmax, B, L = beta_buf.shape
+
+    @pl.when(i == 0)
+    def _():
+        beta_buf[:] = jnp.full_like(beta_buf, NEG_INF)
+        cs_buf[:] = jnp.zeros_like(cs_buf)
+
+    cs_next = cum_ref[0]                                    # (B, L): CS[t+1]
+    invd = invd_ref[:, 0:1].reshape(Dmax, 1, 1)
+    seg_next = (cs_buf[:] - cs_next[None]) * invd \
+        + bias_ref[:].reshape(Dmax, 1, L)                   # segment (t+d+1, d)
+    w = seg_next + beta_buf[:]
+    mw = jnp.maximum(jnp.max(w, axis=-1, keepdims=True), NEG_INF)
+    prod = jnp.dot(jnp.exp(w - mw).reshape(Dmax * B, L), M_ref[:],
+                   preferred_element_type=jnp.float32).reshape(Dmax, B, L)
+    msg = mw + tmaxr_ref[0:1, :][None] + jnp.log(jnp.maximum(prod, 1e-38))
+    cm = jnp.maximum(jnp.max(msg, axis=0), NEG_INF)         # (B, L)
+    beta_t = cm + jnp.log(jnp.maximum(
+        jnp.sum(jnp.exp(msg - cm[None]), axis=0), 1e-38))
+    lenv = len_ref[:, 0:1]
+    beta_t = jnp.where(t == lenv - 1, 0.0, beta_t)
+    beta_t = jnp.where(t >= lenv, NEG_INF, beta_t)
+
+    betas_ref[0] = beta_t
+    beta_buf[:] = jnp.concatenate([beta_t[None], beta_buf[:-1]], axis=0)
+    cs_buf[:] = jnp.concatenate([cs_next[None], cs_buf[:-1]], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("max_dur", "mean_pool",
+                                             "interpret"))
+def segmental_backward_pallas(cum, trans, bias, lengths, max_dur: int,
+                              mean_pool: bool = True,
+                              interpret: bool = False):
+    """Fused SCRF beta pass.  ``cum``: (T, B, L) inclusive cumulative frame
+    scores; ``bias``: (Dmax, L) combined segment bias.  Returns betas
+    (T, B, L) — allclose to ops.segmental_stream.seg_backward_stream."""
+    T, B, L = cum.shape
+    Dmax = max_dur
+    cum, trans, bias, lengths, Bp, Lp = _pad_seg_inputs(
+        cum, trans, bias, lengths)
+    tmax_row = jnp.maximum(jnp.max(trans, axis=1), NEG_INF)
+    M = jnp.exp(trans - tmax_row[:, None]).T
+    tmaxr8 = jnp.broadcast_to(tmax_row[None, :], (_SUBLANE, Lp))
+
+    [betas] = pl.pallas_call(
+        _seg_bwd_kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((Bp, _LANE), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bp, Lp), lambda i: (T - 1 - i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lp, Lp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_SUBLANE, Lp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Dmax, Lp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Dmax, _LANE), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Bp, Lp), lambda i: (T - 1 - i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((T, Bp, Lp), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((Dmax, Bp, Lp), jnp.float32),
+            pltpu.VMEM((Dmax, Bp, Lp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(_len2d(lengths, Bp), cum, M, tmaxr8, bias, _invd2d(Dmax, mean_pool))
+    return betas[:, :B, :L]
+
+
+def _seg_grad_kernel(len_ref, g_ref, logz_ref, cum_ref, alpha_ref, beta_ref,
+                     P_ref, tmax_ref, bias_ref, invd_ref,
+                     A_ref, S_ref, acc_ref, gt_ref, gd_ref,
+                     alpha_buf, cs_buf):
+    # Ascending grid over t: xi[t, d] for all d in VMEM, accumulating the
+    # gradient pieces (ops.segmental_stream._grad_scan, in-kernel).
+    t = pl.program_id(0)
+    Dmax, B, L = alpha_buf.shape
+
+    @pl.when(t == 0)
+    def _():
+        alpha_buf[:] = jnp.full_like(alpha_buf, NEG_INF)
+        cs_buf[:] = jnp.zeros_like(cs_buf)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        gt_ref[:] = jnp.zeros_like(gt_ref)
+        gd_ref[:] = jnp.zeros_like(gd_ref)
+
+    cum_now = cum_ref[0]
+    alpha_t = alpha_ref[0]
+    beta_t = beta_ref[0]
+    lenv = len_ref[:, 0:1]                                  # (B, 1)
+    gB = g_ref[:, 0:1][None]                                # (1, B, 1)
+    ds = jax.lax.broadcasted_iota(jnp.int32, (Dmax, 1, 1), 0)
+
+    m = jnp.maximum(jnp.max(alpha_buf[:], axis=-1, keepdims=True), NEG_INF)
+    prod = jnp.dot(jnp.exp(alpha_buf[:] - m).reshape(Dmax * B, L), P_ref[:],
+                   preferred_element_type=jnp.float32).reshape(Dmax, B, L)
+    pred = m + tmax_ref[0:1, :][None] + jnp.log(jnp.maximum(prod, 1e-38))
+    pred = jnp.where(ds == t, 0.0, pred)
+    pred = jnp.where(ds > t, NEG_INF, pred)
+
+    invd = invd_ref[:, 0:1].reshape(Dmax, 1, 1)
+    seg = (cum_now[None] - cs_buf[:]) * invd \
+        + bias_ref[:].reshape(Dmax, 1, L)
+    x_v = seg + (beta_t - logz_ref[:, 0:1])[None]           # (Dmax, B, L)
+    valid = (lenv > t)[None]
+    xi_g = jnp.where(valid, jnp.exp(pred + x_v) * gB, 0.0)
+
+    acc = acc_ref[:] + invd * xi_g
+    S_ref[0] = acc[Dmax - 1]
+    acc_ref[:] = jnp.concatenate(
+        [jnp.zeros((1, B, L), acc.dtype), acc[:-1]], axis=0)
+    A_ref[0] = jnp.sum(invd * xi_g, axis=0)
+    gd_ref[:] = gd_ref[:] + jnp.sum(xi_g, axis=1)
+
+    # trans contraction: xi over (p, l) = U^T V * exp(trans) (finish on host)
+    mV = jnp.maximum(jnp.max(x_v, axis=-1, keepdims=True), NEG_INF)
+    w_sc = jnp.exp(m + mV) * gB
+    w_sc = jnp.where(valid & (ds < t), w_sc, 0.0)
+    U = (jnp.exp(alpha_buf[:] - m) * w_sc).reshape(Dmax * B, L)
+    V = jnp.exp(x_v - mV).reshape(Dmax * B, L)
+    gt_ref[:] = gt_ref[:] + jax.lax.dot_general(
+        U, V, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    alpha_buf[:] = jnp.concatenate([alpha_t[None], alpha_buf[:-1]], axis=0)
+    cs_buf[:] = jnp.concatenate([cum_now[None], cs_buf[:-1]], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("max_dur", "mean_pool",
+                                             "interpret"))
+def segmental_grad_pallas(cum, trans, bias, lengths, alphas, betas, logZ, g,
+                          max_dur: int, mean_pool: bool = True,
+                          interpret: bool = False):
+    """Fused xi pass: raw gradient pieces for the streaming SCRF VJP.
+
+    Returns ``(A (T,B,L), S_emit (T,B,L), acc_fin (Dmax,B,L), gd (Dmax,L),
+    gt (L,L))`` matching ops.segmental_stream._grad_scan (assembled there
+    by ``_assemble_frame_grad`` / the exp(trans) contraction finish)."""
+    T, B, L = cum.shape
+    Dmax = max_dur
+    cum, trans, bias, lengths, Bp, Lp = _pad_seg_inputs(
+        cum, trans, bias, lengths)
+    if (Bp, Lp) != (B, L):
+        pad3 = ((0, 0), (0, Bp - B), (0, Lp - L))
+        alphas = jnp.pad(alphas, pad3, constant_values=NEG_INF)
+        betas = jnp.pad(betas, pad3, constant_values=NEG_INF)
+        logZ = jnp.pad(logZ, (0, Bp - B))
+        g = jnp.pad(g, (0, Bp - B))                         # 0: inert rows
+    tmax = jnp.maximum(jnp.max(trans, axis=0), NEG_INF)
+    P = jnp.exp(trans - tmax[None, :])
+    tmax8 = jnp.broadcast_to(tmax[None, :], (_SUBLANE, Lp))
+    g2d = jnp.broadcast_to(g.astype(jnp.float32)[:, None], (Bp, _LANE))
+    logz2d = jnp.broadcast_to(logZ.astype(jnp.float32)[:, None],
+                              (Bp, _LANE))
+
+    whole = lambda i: (0, 0)
+    whole3 = lambda i: (0, 0, 0)
+    row = lambda i: (i, 0, 0)
+    A, S_emit, acc_fin, gt, gd = pl.pallas_call(
+        _seg_grad_kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((Bp, _LANE), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bp, _LANE), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bp, _LANE), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bp, Lp), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bp, Lp), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bp, Lp), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lp, Lp), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((_SUBLANE, Lp), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Dmax, Lp), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Dmax, _LANE), whole, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Bp, Lp), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bp, Lp), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Dmax, Bp, Lp), whole3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lp, Lp), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Dmax, Lp), whole, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, Bp, Lp), jnp.float32),
+            jax.ShapeDtypeStruct((T, Bp, Lp), jnp.float32),
+            jax.ShapeDtypeStruct((Dmax, Bp, Lp), jnp.float32),
+            jax.ShapeDtypeStruct((Lp, Lp), jnp.float32),
+            jax.ShapeDtypeStruct((Dmax, Lp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Dmax, Bp, Lp), jnp.float32),
+            pltpu.VMEM((Dmax, Bp, Lp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(_len2d(lengths, Bp), g2d, logz2d, cum, alphas, betas, P, tmax8,
+      bias, _invd2d(Dmax, mean_pool))
+    return (A[:, :B, :L], S_emit[:, :B, :L], acc_fin[:, :B, :L],
+            gd[:, :L], gt[:L, :L])

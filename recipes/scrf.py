@@ -26,6 +26,9 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=0.05)
     p.add_argument("--noise", type=float, default=0.3)
     p.add_argument("--out_dir", default="./runs/scrf")
+    p.add_argument("--dense_loss", action="store_true",
+                   help="train with the materialized (B,T,Dmax,L) oracle "
+                        "loss instead of the streaming fused loss")
     p.add_argument("--platform", default=None)
     args = p.parse_args(argv)
 
@@ -41,7 +44,8 @@ def main(argv=None):
     from asr_craft_tpu.decode.scorer import ErrorRateScorer, score_batch
     from asr_craft_tpu.models import weights as weights_mod
     from asr_craft_tpu.models.segmental import (SegCrfConfig,
-                                                scrf_frame_labels, scrf_loss)
+                                                scrf_frame_labels, scrf_loss,
+                                                scrf_loss_fused)
     from asr_craft_tpu.utils.logging import MetricsLogger
 
     os.makedirs(args.out_dir, exist_ok=True)
@@ -68,8 +72,9 @@ def main(argv=None):
     import optax
     opt = optax.adam(args.lr)
     opt_state = opt.init(params)
+    loss = scrf_loss if args.dense_loss else scrf_loss_fused
     loss_grad = jax.jit(jax.value_and_grad(
-        lambda p: scrf_loss(cfg, p, feats, labels, lengths)[0]))
+        lambda p: loss(cfg, p, feats, labels, lengths)[0]))
 
     @jax.jit
     def step(params, opt_state):

@@ -63,3 +63,89 @@ def test_seg_kernel_sum_pooling(rng):
         jnp.moveaxis(frame, 1, 0), trans, None, None, lengths,
         max_dur=Dmax, mean_pool=False, interpret=True)
     np.testing.assert_allclose(np.asarray(logZ), np.asarray(logZ_ref), **TOL)
+
+
+def test_seg_backward_kernel_matches_scan(rng):
+    """Fused beta kernel == streaming beta scan (variable lengths)."""
+    from asr_craft_tpu.kernels.segmental_pallas import segmental_backward_pallas
+    from asr_craft_tpu.ops.segmental_stream import (_invd,
+                                                    seg_backward_stream)
+    B, T, L, Dmax = 3, 10, 5, 4
+    frame = jnp.asarray(rng.normal(size=(T, B, L)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(Dmax, L)) * 0.5, jnp.float32)
+    trans = jnp.asarray(rng.normal(size=(L, L)) * 0.5, jnp.float32)
+    lengths = jnp.asarray([10, 6, 1], jnp.int32)
+    cum = jnp.cumsum(frame, axis=0)
+    ref = seg_backward_stream(cum, bias, trans, lengths, _invd(Dmax, True))
+    out = segmental_backward_pallas(cum, trans, bias, lengths, max_dur=Dmax,
+                                    interpret=True)
+    for b in range(B):
+        n = int(lengths[b])
+        np.testing.assert_allclose(np.asarray(out)[:n, b],
+                                   np.asarray(ref)[:n, b], **TOL)
+
+
+def test_seg_grad_kernel_matches_scan(rng):
+    """Fused xi kernel pieces == streaming grad scan pieces."""
+    from asr_craft_tpu.kernels.segmental_pallas import (
+        segmental_backward_pallas, segmental_grad_pallas)
+    from asr_craft_tpu.ops.segmental_stream import (_grad_scan, _invd,
+                                                    seg_backward_stream,
+                                                    seg_forward_stream)
+    B, T, L, Dmax = 3, 9, 5, 3
+    frame = jnp.asarray(rng.normal(size=(T, B, L)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(Dmax, L)) * 0.5, jnp.float32)
+    trans = jnp.asarray(rng.normal(size=(L, L)) * 0.5, jnp.float32)
+    lengths = jnp.asarray([9, 5, 2], jnp.int32)
+    g = jnp.asarray(rng.normal(size=(B,)), jnp.float32)
+    cum = jnp.cumsum(frame, axis=0)
+    invd = _invd(Dmax, True)
+    alphas, logZ = seg_forward_stream(cum, bias, trans, lengths, invd)
+    betas = seg_backward_stream(cum, bias, trans, lengths, invd)
+    ref = _grad_scan(cum, bias, trans, lengths, invd, alphas, betas, logZ, g)
+    out = segmental_grad_pallas(cum, trans, bias, lengths, alphas, betas,
+                                logZ, g, max_dur=Dmax, interpret=True)
+    for r, o, name in zip(ref, out, ("A", "S_emit", "acc_fin", "gd", "gt")):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)
+
+
+def test_seg_stream_vjp_pallas_backend(rng):
+    """Full custom-VJP through the fused kernels (interpret mode, forced
+    pallas backend) == the dense-path autodiff gradient."""
+    from asr_craft_tpu import kernels
+    from asr_craft_tpu.models.segmental import scrf_loss, scrf_loss_fused
+    cfg = SegCrfConfig(num_labels=4, feat_dim=4, max_dur=3)
+    params = cfg.init_params(jax.random.PRNGKey(5), scale=0.3)
+    feats = jnp.asarray(rng.normal(size=(2, 8, 4)), jnp.float32)
+    labels = jnp.asarray(np.repeat(rng.integers(0, 4, size=(2, 4)), 2,
+                                   axis=1), jnp.int32)
+    lengths = jnp.asarray([8, 5], jnp.int32)
+    gd = jax.grad(lambda p: scrf_loss(cfg, p, feats, labels, lengths)[0])(
+        params)
+    # interpret-mode pallas: monkeypatch the interpret default via backend
+    kernels.set_backend("pallas")
+    try:
+        import asr_craft_tpu.kernels.segmental_pallas as sp
+        orig_fwd, orig_bwd, orig_grad = (sp.segmental_forward_pallas,
+                                         sp.segmental_backward_pallas,
+                                         sp.segmental_grad_pallas)
+        kernels.segmental_forward_pallas = \
+            lambda *a, **k: orig_fwd(*a, **{**k, "interpret": True})
+        kernels.segmental_backward_pallas = \
+            lambda *a, **k: orig_bwd(*a, **{**k, "interpret": True})
+        kernels.segmental_grad_pallas = \
+            lambda *a, **k: orig_grad(*a, **{**k, "interpret": True})
+        lf, _ = scrf_loss_fused(cfg, params, feats, labels, lengths)
+        gf = jax.grad(lambda p: scrf_loss_fused(cfg, p, feats, labels,
+                                                lengths)[0])(params)
+    finally:
+        kernels.set_backend("auto")
+        kernels.segmental_forward_pallas = orig_fwd
+        kernels.segmental_backward_pallas = orig_bwd
+        kernels.segmental_grad_pallas = orig_grad
+    ld, _ = scrf_loss(cfg, params, feats, labels, lengths)
+    np.testing.assert_allclose(float(lf), float(ld), rtol=1e-5)
+    for k in gd:
+        np.testing.assert_allclose(np.asarray(gf[k]), np.asarray(gd[k]),
+                                   rtol=5e-4, atol=1e-5, err_msg=k)

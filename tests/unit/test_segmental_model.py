@@ -114,3 +114,48 @@ def test_scrf_decode_matches_oracle(rng):
         np.testing.assert_allclose(float(scores[b]), ref_score, rtol=1e-4)
         got = [(int(starts[b, i]), int(labs[b, i])) for i in range(int(n[b]))]
         assert got == [(a, l) for (a, _, l) in ref_segs]
+
+
+def test_scrf_loss_fused_matches_dense(rng):
+    """scrf_loss_fused (streaming custom-VJP denominator + cumsum gold
+    numerator) == scrf_loss (materialized oracle path): value and grads."""
+    from asr_craft_tpu.models.segmental import scrf_loss_fused
+    cfg = SegCrfConfig(num_labels=4, feat_dim=5, max_dur=4)
+    params = cfg.init_params(jax.random.PRNGKey(2), scale=0.3)
+    feats = jnp.asarray(rng.normal(size=(3, 10, 5)), jnp.float32)
+    labels = jnp.asarray(np.repeat(rng.integers(0, 4, size=(3, 5)), 2,
+                                   axis=1), jnp.int32)
+    lengths = jnp.asarray([10, 7, 4], jnp.int32)
+
+    ld, _ = scrf_loss(cfg, params, feats, labels, lengths)
+    lf, _ = scrf_loss_fused(cfg, params, feats, labels, lengths)
+    np.testing.assert_allclose(float(lf), float(ld), rtol=1e-5)
+
+    gd = jax.grad(lambda p: scrf_loss(cfg, p, feats, labels, lengths)[0])(
+        params)
+    gf = jax.grad(
+        lambda p: scrf_loss_fused(cfg, p, feats, labels, lengths)[0])(params)
+    for k in gd:
+        np.testing.assert_allclose(np.asarray(gf[k]), np.asarray(gd[k]),
+                                   rtol=5e-4, atol=1e-5, err_msg=k)
+
+
+def test_scrf_loss_fused_sum_pool_no_biases(rng):
+    from asr_craft_tpu.models.segmental import scrf_loss_fused
+    cfg = SegCrfConfig(num_labels=3, feat_dim=3, max_dur=3, pooling="sum",
+                       use_dur_feature=False, use_seg_bias=False)
+    params = cfg.init_params(jax.random.PRNGKey(3), scale=0.3)
+    feats = jnp.asarray(rng.normal(size=(2, 8, 3)), jnp.float32)
+    labels = jnp.asarray(np.repeat(rng.integers(0, 3, size=(2, 4)), 2,
+                                   axis=1), jnp.int32)
+    lengths = jnp.asarray([8, 6], jnp.int32)
+    ld, _ = scrf_loss(cfg, params, feats, labels, lengths)
+    lf, _ = scrf_loss_fused(cfg, params, feats, labels, lengths)
+    np.testing.assert_allclose(float(lf), float(ld), rtol=1e-5)
+    gd = jax.grad(lambda p: scrf_loss(cfg, p, feats, labels, lengths)[0])(
+        params)
+    gf = jax.grad(
+        lambda p: scrf_loss_fused(cfg, p, feats, labels, lengths)[0])(params)
+    for k in gd:
+        np.testing.assert_allclose(np.asarray(gf[k]), np.asarray(gd[k]),
+                                   rtol=5e-4, atol=1e-5, err_msg=k)
