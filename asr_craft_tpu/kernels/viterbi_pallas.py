@@ -43,7 +43,35 @@ def _pick_btile(B0: int) -> int:
     return 64 if B0 >= 64 else (32 if B0 >= 32 else 16)
 
 
-def _vit_fwd_kernel(lsub, len_ref, thr_ref, state_ref, trans_ref,
+def _beam_mask(new, thr, beam_width):
+    """Score-margin + top-k (max-active) beam mask, matching the XLA
+    path's prune (ops.viterbi): threshold first, then keep entries >= the
+    k-th largest surviving value (ties at the k-th value all kept).  The
+    k-th value is found by extracting distinct maxima — at most k rounds of
+    (row-max, count) VPU reductions, no sort needed on TPU."""
+    mrow = jnp.max(new, axis=-1, keepdims=True)
+    new = jnp.where(new >= mrow - thr, new, NEG_INF)
+    if beam_width is None:
+        return new
+    k = beam_width
+
+    def body(_, carry):
+        cur, kth, found = carry
+        m = jnp.max(cur, axis=-1, keepdims=True)
+        cnt = jnp.sum((new >= m).astype(jnp.float32), axis=-1,
+                      keepdims=True)
+        kth = jnp.where(found, kth, m)
+        found = found | (cnt >= k)
+        cur = jnp.where(cur >= m, NEG_INF, cur)
+        return cur, kth, found
+
+    init = (new, jnp.full_like(new[:, 0:1], NEG_INF),
+            jnp.zeros((new.shape[0], 1), jnp.bool_))
+    _, kth, _ = jax.lax.fori_loop(0, k, body, init)
+    return jnp.where(new >= kth, new, NEG_INF)
+
+
+def _vit_fwd_kernel(lsub, beam_width, len_ref, thr_ref, state_ref, trans_ref,
                     deltas_ref, carry):
     # ``lsub``: true label count rounded to the f32 sublane (8) — the
     # reduction runs over only the real predecessor rows instead of the
@@ -56,7 +84,7 @@ def _vit_fwd_kernel(lsub, len_ref, thr_ref, state_ref, trans_ref,
 
         @pl.when(t == 0)
         def _():
-            carry[:] = state_t
+            carry[:] = _beam_mask(state_t, thr_ref[0, 0], beam_width)
 
         @pl.when(t > 0)
         def _():
@@ -67,8 +95,7 @@ def _vit_fwd_kernel(lsub, len_ref, thr_ref, state_ref, trans_ref,
             dl = jax.lax.slice(delta, (0, 0), (delta.shape[0], lsub))
             cand = dl[:, :, None] + trans_ref[0:lsub, :][None, :, :]
             new = jnp.max(cand, axis=1) + state_t
-            mrow = jnp.max(new, axis=-1, keepdims=True)
-            new = jnp.where(new >= mrow - thr_ref[0, 0], new, NEG_INF)
+            new = _beam_mask(new, thr_ref[0, 0], beam_width)
             valid = len_ref[:, 0:1] > t
             carry[:] = jnp.where(valid, new, delta)
 
@@ -113,12 +140,14 @@ def _vit_bwd_kernel(len_ref, last_ref, deltas_ref, transT_ref,
     jax.lax.fori_loop(0, _TBLOCK, frame, 0, unroll=True)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "beam_threshold"))
+@functools.partial(jax.jit, static_argnames=("interpret", "beam_threshold",
+                                             "beam_width"))
 def viterbi_pallas(state_tm, trans, lengths, beam_threshold=None,
-                   interpret: bool = False):
+                   beam_width=None, interpret: bool = False):
     """Fused Viterbi. ``state_tm``: (T, B, L); ``trans``: (L, L).
     Returns (path (B, T) int32, score (B,)).  Path entries at padded frames
-    repeat the final label (inert for scoring)."""
+    repeat the final label (inert for scoring).  ``beam_threshold`` /
+    ``beam_width``: see ops.viterbi (same pruning semantics)."""
     bt = _pick_btile(state_tm.shape[1])
     state_tm, trans, lengths, T0, B0, L0 = pad_tbl(state_tm, trans, lengths,
                                                    _TBLOCK, bmult=bt)
@@ -127,10 +156,12 @@ def viterbi_pallas(state_tm, trans, lengths, beam_threshold=None,
     len2d = jnp.broadcast_to(lengths[:, None].astype(jnp.int32), (B, _LANE))
     thr = jnp.full((1, 1), jnp.inf if beam_threshold is None
                    else float(beam_threshold), jnp.float32)
+    if beam_width is not None and beam_width >= L0:
+        beam_width = None
 
     lsub = ((L0 + _SUBLANE - 1) // _SUBLANE) * _SUBLANE
     [deltas] = pl.pallas_call(
-        functools.partial(_vit_fwd_kernel, lsub),
+        functools.partial(_vit_fwd_kernel, lsub, beam_width),
         grid=(B // bt, nb),
         in_specs=[
             pl.BlockSpec((bt, _LANE), lambda b, i: (b, 0),
@@ -201,8 +232,8 @@ def viterbi_pallas(state_tm, trans, lengths, beam_threshold=None,
 # plane-major permutation of the transition matrix.
 
 
-def _vit_fwd_nstate_kernel(ns, pp, psub, len_ref, thr_ref, state_ref,
-                           wself_ref, wadv_ref, wcross_ref,
+def _vit_fwd_nstate_kernel(ns, pp, psub, beam_width, len_ref, thr_ref,
+                           state_ref, wself_ref, wadv_ref, wcross_ref,
                            deltas_ref, carry):
     i = pl.program_id(1)
 
@@ -212,7 +243,7 @@ def _vit_fwd_nstate_kernel(ns, pp, psub, len_ref, thr_ref, state_ref,
 
         @pl.when(t == 0)
         def _():
-            carry[:] = state_t
+            carry[:] = _beam_mask(state_t, thr_ref[0, 0], beam_width)
 
         @pl.when(t > 0)
         def _():
@@ -235,8 +266,7 @@ def _vit_fwd_nstate_kernel(ns, pp, psub, len_ref, thr_ref, state_ref,
                      jnp.full((bt, (ns - 1) * pp), NEG_INF, jnp.float32)],
                     axis=1)
             new = jnp.maximum(best, cross) + state_t
-            mrow = jnp.max(new, axis=-1, keepdims=True)
-            new = jnp.where(new >= mrow - thr_ref[0, 0], new, NEG_INF)
+            new = _beam_mask(new, thr_ref[0, 0], beam_width)
             valid = len_ref[:, 0:1] > t
             carry[:] = jnp.where(valid, new, delta)
 
@@ -277,9 +307,10 @@ def _plane_trans(trans, P: int, ns: int, pp: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("num_states", "beam_threshold",
-                                    "interpret"))
+                                    "beam_width", "interpret"))
 def viterbi_pallas_nstate(state_tm, trans, lengths, num_states: int,
-                          beam_threshold=None, interpret: bool = False):
+                          beam_threshold=None, beam_width=None,
+                          interpret: bool = False):
     """Topology-factored fused Viterbi for the n-state left-to-right case.
 
     ``state_tm``: (T, B, L') with L' = P * num_states (index q*ns + s);
@@ -313,9 +344,11 @@ def viterbi_pallas_nstate(state_tm, trans, lengths, num_states: int,
                              (Bp, _LANE))
     thr = jnp.full((1, 1), jnp.inf if beam_threshold is None
                    else float(beam_threshold), jnp.float32)
+    if beam_width is not None and beam_width >= L0:
+        beam_width = None
 
     [deltas] = pl.pallas_call(
-        functools.partial(_vit_fwd_nstate_kernel, ns, pp, psub),
+        functools.partial(_vit_fwd_nstate_kernel, ns, pp, psub, beam_width),
         grid=(Bp // bt, nb),
         in_specs=[
             pl.BlockSpec((bt, _LANE), lambda b, i: (b, 0),

@@ -157,33 +157,30 @@ def decode(cfg: CrfConfig, params, feats, lengths, sparse=None,
            beam_threshold: Optional[float] = None):
     """Batched Viterbi over expanded states, collapsed to per-frame phones.
 
-    Beam options (both None = exact search, the parity fallback):
-    - ``beam_width``: top-k max-active pruning (XLA path).
-    - ``beam_threshold``: score-margin pruning (Pallas kernel path) — the
-      reference ``CRF_ViterbiDecoder``'s beam semantics.
+    Beam options (both None = exact search, the parity fallback; both
+    supported symmetrically on the Pallas and XLA paths — the reference
+    ``CRF_ViterbiDecoder``'s threshold / max-active pruning modes):
+    - ``beam_width``: top-k max-active pruning.
+    - ``beam_threshold``: score-margin pruning.
 
     Returns (phone_frames (B, T), state_paths (B, T), scores (B,)).
     """
     from asr_craft_tpu import kernels
     state, trans = potentials(cfg, params, feats, sparse)
     state = apply_boundaries(cfg, state, lengths)
-    if (trans.ndim == 2 and beam_width is None
-            and kernels.backend() == "pallas"):
+    if trans.ndim == 2 and kernels.backend() == "pallas":
+        beams = dict(beam_threshold=beam_threshold, beam_width=beam_width)
         if cfg.num_states > 1 and cfg.num_labels <= 128:
             # topology-factored kernel: O(L') self/advance + O(P^2) cross
             paths, scores = kernels.viterbi_pallas_nstate(
                 jnp.moveaxis(state, 1, 0), trans, lengths, cfg.num_states,
-                beam_threshold=beam_threshold)
+                **beams)
         else:
             paths, scores = kernels.viterbi_pallas(
-                jnp.moveaxis(state, 1, 0), trans, lengths,
-                beam_threshold=beam_threshold)
+                jnp.moveaxis(state, 1, 0), trans, lengths, **beams)
     else:
-        if beam_threshold is not None:
-            raise NotImplementedError(
-                "beam_threshold requires the Pallas backend; "
-                "use beam_width on the XLA path")
-        paths, scores = viterbi_batch(state, trans, lengths, beam_width)
+        paths, scores = viterbi_batch(state, trans, lengths, beam_width,
+                                      beam_threshold)
     return cfg.topology.path_to_phones(paths), paths, scores
 
 

@@ -21,25 +21,33 @@ from asr_craft_tpu.ops.semiring import NEG_INF
 __all__ = ["viterbi", "viterbi_batch"]
 
 
-@functools.partial(jax.jit, static_argnames=("beam_width",))
-def viterbi(log_phi_state, log_phi_trans, length, beam_width: int | None = None):
+@functools.partial(jax.jit, static_argnames=("beam_width", "beam_threshold"))
+def viterbi(log_phi_state, log_phi_trans, length, beam_width: int | None = None,
+            beam_threshold: float | None = None):
     """Best label path. Returns ``(path, score)`` with ``path: (T,) int32``.
 
     Padded positions of ``path`` repeat the label at ``length - 1`` (inert —
     downstream scoring masks by length).
 
-    ``beam_width``: if set, after each frame only the top-k labels survive;
-    the rest are pruned to the semiring zero (ties at the k-th score are all
-    kept).  ``None`` = exact Viterbi.
+    Beam pruning (the reference decoder's max-active / score-margin modes,
+    both supported symmetrically here and in the Pallas kernels):
+    - ``beam_width``: after each frame only the top-k labels survive (ties
+      at the k-th score are all kept).
+    - ``beam_threshold``: labels more than this margin below the frame-best
+      score are pruned.
+    Both None = exact Viterbi; both set = intersection of the two beams.
     """
     T, L = log_phi_state.shape
     trans = broadcast_trans(log_phi_trans, T)
 
     def prune(delta):
-        if beam_width is None or beam_width >= L:
-            return delta
-        kth = jax.lax.top_k(delta, beam_width)[0][..., -1]
-        return jnp.where(delta >= kth, delta, NEG_INF)
+        if beam_threshold is not None:
+            delta = jnp.where(delta >= jnp.max(delta) - beam_threshold,
+                              delta, NEG_INF)
+        if beam_width is not None and beam_width < L:
+            kth = jax.lax.top_k(delta, beam_width)[0][..., -1]
+            delta = jnp.where(delta >= kth, delta, NEG_INF)
+        return delta
 
     def step(carry, inp):
         t, state_t, trans_t = inp
@@ -68,9 +76,11 @@ def viterbi(log_phi_state, log_phi_trans, length, beam_width: int | None = None)
     return path, score
 
 
-def viterbi_batch(log_phi_state, log_phi_trans, lengths, beam_width=None):
+def viterbi_batch(log_phi_state, log_phi_trans, lengths, beam_width=None,
+                  beam_threshold=None):
     """Batch over utterances. ``log_phi_state: (B, T, L)``; trans shared
     ((L,L)/(T,L,L)) or per-sequence ((B,T,L,L))."""
     ax = 0 if log_phi_trans.ndim == 4 else None
-    return jax.vmap(lambda s, t, n: viterbi(s, t, n, beam_width),
+    return jax.vmap(lambda s, t, n: viterbi(s, t, n, beam_width,
+                                            beam_threshold),
                     in_axes=(0, ax, 0))(log_phi_state, log_phi_trans, lengths)
