@@ -1,0 +1,68 @@
+"""Worker process for the 2-process jax.distributed test
+(test_multiprocess.py).  Not a test module.
+
+Runs one process of a 2-process CPU data-parallel step: distributed
+bring-up via parallel.initialize_distributed (env-driven), host-sharded
+loading via data_shard_info, a global-mesh batch assembled with
+jax.make_array_from_process_local_data, and one loss+grad computation with
+XLA's cross-process psum.  Writes {loss, grads} to the given npz path.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))))
+
+
+def main():
+    out_path = sys.argv[1]
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from asr_craft_tpu import data
+    from asr_craft_tpu.models.crf import CrfConfig, crf_loss
+    from asr_craft_tpu.parallel import (batch_shardings, data_shard_info,
+                                        initialize_distributed, make_mesh)
+
+    initialize_distributed()
+    assert jax.process_count() == 2, jax.process_count()
+    mesh = make_mesh()                       # global: 1 device per process
+    assert mesh.size == 2
+
+    shard = data_shard_info()
+    scfg = data.SyntheticConfig(num_labels=4, feat_dim=4, noise=0.3, seed=7,
+                                min_len=12, max_len=24)
+    feats, labels, _ = data.generate_corpus(scfg, 8)
+    loader = data.UtteranceLoader(
+        feats, labels,
+        data.LoaderConfig(batch_size=2, buckets=(32,), shuffle=False,
+                          **shard))
+    batch = next(iter(loader.epoch_batches(0)))     # this process's shard
+
+    sh = batch_shardings(mesh)
+    gbatch = {k: jax.make_array_from_process_local_data(sh[k],
+                                                        np.asarray(v))
+              for k, v in batch.items() if k in sh}
+
+    cfg = CrfConfig(num_labels=4, feat_dim=4)
+    params = cfg.init_params(jax.random.PRNGKey(0), scale=0.1)
+    rep = NamedSharding(mesh, P())
+    params = {k: jax.make_array_from_process_local_data(rep, np.asarray(v))
+              for k, v in params.items()}
+
+    def loss_fn(p, b):
+        return crf_loss(cfg, p, b["feats"], b["labels"], b["lengths"])[0]
+
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params, gbatch)
+    out = {"loss": np.asarray(loss.addressable_shards[0].data)}
+    for k, v in grads.items():
+        out[f"grad_{k}"] = np.asarray(v.addressable_shards[0].data)
+    np.savez(out_path, **out)
+    jax.distributed.shutdown()
+
+
+if __name__ == "__main__":
+    main()
