@@ -71,6 +71,13 @@ def build_parser() -> argparse.ArgumentParser:
                    "('key w1 w2 ...' lines) for WER scoring")
     p.add_argument("--out_lattice_dir",
                    help="write per-utterance lattices as FST text files")
+    p.add_argument("--otf", action="store_true",
+                   help="on-the-fly FST-composed beam Viterbi (no lattice "
+                   "materialization; reference CRF_ViterbiDecoder mode) — "
+                   "prune with --beam_threshold / --max_active")
+    p.add_argument("--max_active", type=int, default=None,
+                   help="max live (label, grammar-state) tokens per frame "
+                   "in --otf decoding")
     p.add_argument("--fst_backend", choices=["auto", "py", "native"],
                    default="auto")
     p.add_argument("--batch_size", type=int, default=16)
@@ -187,6 +194,16 @@ def _word_decode(args, cfg, params, loader, names, logger) -> int:
     lexicon, words = F.read_lexicon(args.lexicon, phone_index)
     lm = F.read_fst_text(args.lm) if args.lm else None
 
+    otf_graph = None
+    if args.otf:
+        from asr_craft_tpu.decode.otf import build_search_graph
+        if args.nbest > 1:
+            raise SystemExit("--otf does not support --nbest; use the "
+                             "offline lattice path for n-best")
+        otf_graph = build_search_graph(lexicon, words, lm=lm,
+                                       lm_weight=args.lm_weight,
+                                       backend=args.fst_backend)
+
     refs = None
     if args.ref_words:
         refs = {}
@@ -227,7 +244,15 @@ def _word_decode(args, cfg, params, loader, names, logger) -> int:
                 F.write_fst_text(
                     lat, os.path.join(args.out_lattice_dir, f"{key}.fst.txt"))
             try:
-                if args.nbest > 1:
+                if otf_graph is not None:
+                    from asr_craft_tpu.decode.otf import otf_decode_words
+                    wseq, _, _ = otf_decode_words(
+                        state[r], tr, n, otf_graph, words,
+                        num_states=cfg.num_states,
+                        beam_threshold=args.beam_threshold,
+                        max_active=args.max_active,
+                        backend=args.fst_backend)
+                elif args.nbest > 1:
                     nb = F.decode_words_nbest(state[r], tr, n, lexicon,
                                               words, args.nbest, **kw)
                     nbest_out[key] = [(w, wseq) for wseq, _, w in nb]

@@ -58,6 +58,13 @@ def _load():
     lib.craft_shortest_path.argtypes = [
         I, I, I, ip, ip, ip, ip, fp, fp, I, ip, ip,
         ctypes.POINTER(I), ctypes.POINTER(I), ctypes.POINTER(F)]
+    D = ctypes.c_double
+    dp = np.ctypeslib.ndpointer(np.float64, flags="C")
+    lib.craft_otf_decode.restype = I
+    lib.craft_otf_decode.argtypes = [
+        I, I, dp, dp, I, I,
+        I, I, I, ip, ip, ip, ip, fp, fp,
+        D, I, I, ip, ctypes.POINTER(I), ip, ctypes.POINTER(D)]
     _lib = lib
     return _lib
 
@@ -116,3 +123,39 @@ def shortest_path(f) -> Tuple[List[int], List[int], float]:
         raise RuntimeError(f"shortest_path: native error {rc}")
     return (out_il[:ni.value].tolist(), out_ol[:no.value].tolist(),
             float(wgt.value))
+
+
+def otf_decode(log_phi_state, log_phi_trans, length, graph, words,
+               num_states=1, beam_threshold=None, max_active=None
+               ) -> Tuple[List[str], List[int], float]:
+    """Native on-the-fly composed beam Viterbi (craft_otf_decode); same
+    contract as decode.otf.otf_decode_words."""
+    lib = _load()
+    state = np.ascontiguousarray(
+        np.asarray(log_phi_state, np.float64)[:int(length)])
+    trans = np.ascontiguousarray(np.asarray(log_phi_trans, np.float64))
+    T, L = state.shape
+    frame_dep = 1 if trans.ndim == 3 else 0
+    if frame_dep:
+        trans = np.ascontiguousarray(trans[:T])
+    max_words = T + 1
+    out_words = np.empty(max_words, np.int32)
+    out_path = np.empty(T, np.int32)
+    nw = ctypes.c_int32()
+    wgt = ctypes.c_double()
+    rc = lib.craft_otf_decode(
+        T, L, state, trans, frame_dep, int(num_states),
+        graph.num_states, graph.start, graph.num_arcs,
+        _i32(graph.src), _i32(graph.dst), _i32(graph.ilabel),
+        _i32(graph.olabel), _f32(graph.weight), _f32(graph.final),
+        -1.0 if beam_threshold is None else float(beam_threshold),
+        0 if max_active is None else int(max_active),
+        max_words, out_words, ctypes.byref(nw), out_path,
+        ctypes.byref(wgt))
+    if rc == 2:
+        raise ValueError("otf_decode: no accepting hypothesis (beam too "
+                         "narrow or lexicon cannot cover the utterance)")
+    if rc != 0:
+        raise RuntimeError(f"otf_decode: native error {rc}")
+    return ([words[w - 1] for w in out_words[:nw.value]],
+            out_path.tolist(), float(wgt.value))

@@ -1,0 +1,152 @@
+"""On-the-fly FST-composed beam Viterbi (the reference
+``CRF_ViterbiDecoder``'s flagship mode — SURVEY.md §2.1 "time-synchronous
+beam-pruned Viterbi with on-the-fly composition against dictionary/LM FST",
+§3.3).
+
+Where :func:`asr_craft_tpu.decode.fst.decode_words` materializes the full
+frame lattice and composes offline, this decoder never builds the lattice:
+tokens ``(expanded state l, grammar state g)`` are passed time-synchronously
+through the phone-input search graph G = lexicon [o LM], with Viterbi
+recombination per token and threshold / max-active beam pruning per frame.
+The frame-run collapser is implicit: G advances only when the phone
+identity changes between frames (identical semantics to composing with
+``collapser_fst`` — adjacent identical phones merge).
+
+Host-side by design (BASELINE: dense DP on chip, word search on host); the
+production path is the C++ twin (``craft_otf_decode`` in native/fst.cpp via
+decode.fst_native), held to this reference implementation in
+tests/unit/test_otf.py.  With no beam it is exact: equal weight to the
+offline composed shortest path.
+"""
+from __future__ import annotations
+
+import heapq
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from asr_craft_tpu.decode.fst import Fst, compose, lexicon_fst
+
+_FINITE = -1e29          # potentials below this are semiring zeros
+
+
+def build_search_graph(lexicon: Dict[str, List[int]], words: List[str],
+                       lm: Optional[Fst] = None, lm_weight: float = 1.0,
+                       backend: str = "auto") -> Fst:
+    """Phone-input word-output search graph G = lexicon [o LM] (weights of
+    the LM scaled by ``lm_weight``) for :func:`otf_decode_words`."""
+    import dataclasses
+
+    from asr_craft_tpu.decode.fst import get_backend
+    g = lexicon_fst(lexicon, words)
+    if lm is not None:
+        if lm_weight != 1.0:
+            lm = dataclasses.replace(lm, weight=lm.weight * lm_weight,
+                                     final=lm.final * lm_weight)
+        g = get_backend(backend).compose(g, lm)
+    return g
+
+
+def _prune(tokens: dict, beam_threshold, max_active):
+    if not tokens:
+        return tokens
+    if beam_threshold is not None:
+        best = min(e[0] for e in tokens.values())
+        tokens = {k: e for k, e in tokens.items()
+                  if e[0] <= best + beam_threshold}
+    if max_active is not None and len(tokens) > max_active:
+        kept = heapq.nsmallest(max_active, tokens.items(),
+                               key=lambda kv: kv[1][0])
+        tokens = dict(kept)
+    return tokens
+
+
+def otf_decode_words(log_phi_state, log_phi_trans, length, graph: Fst,
+                     words: List[str], num_states: int = 1,
+                     beam_threshold: Optional[float] = None,
+                     max_active: Optional[int] = None,
+                     backend: str = "auto"
+                     ) -> Tuple[List[str], List[int], float]:
+    """Beam word decode without lattice materialization.
+
+    ``log_phi_state``: (T, L') potentials; ``graph``: phone-input search
+    graph from :func:`build_search_graph`.  ``beam_threshold``: drop tokens
+    more than this above the frame-best weight; ``max_active``: keep at
+    most this many tokens per frame.  Both None = exact (equals the offline
+    composed shortest path).  Returns (word seq, expanded-state frame path,
+    weight).  Raises ValueError when no hypothesis survives (beam too
+    narrow / lexicon cannot cover the utterance).
+    """
+    if backend != "py":
+        from asr_craft_tpu.decode import fst_native
+        if fst_native.available() and hasattr(fst_native, "otf_decode"):
+            return fst_native.otf_decode(
+                log_phi_state, log_phi_trans, length, graph, words,
+                num_states, beam_threshold, max_active)
+        if backend == "native":
+            raise RuntimeError("native fst backend not built")
+    state = np.asarray(log_phi_state, np.float64)[:int(length)]
+    trans = np.asarray(log_phi_trans, np.float64)
+    T, L = state.shape
+    phone_of = (np.arange(L) // num_states + 1).astype(np.int64)
+    gi: Dict[Tuple[int, int], List[int]] = {}
+    for j in range(graph.num_arcs):
+        gi.setdefault((int(graph.src[j]), int(graph.ilabel[j])),
+                      []).append(j)
+
+    # per-frame token stores: (l, g) -> [weight, parent entry id, word]
+    cur: dict = {}
+    for l in range(L):
+        if state[0, l] < _FINITE:
+            continue
+        base = -state[0, l]
+        for j in gi.get((graph.start, int(phone_of[l])), ()):
+            key = (l, int(graph.dst[j]))
+            sc = base + float(graph.weight[j])
+            e = cur.get(key)
+            if e is None or sc < e[0]:
+                cur[key] = [sc, -1, int(graph.olabel[j])]
+    frames = [list(_prune(cur, beam_threshold, max_active).items())]
+
+    for t in range(1, T):
+        tr = trans if trans.ndim == 2 else trans[t]
+        nxt: dict = {}
+        for eid, ((l, g), (sc, _, _)) in enumerate(frames[-1]):
+            arc_w = tr[l] + state[t]                       # (L,)
+            for lp in range(L):
+                if arc_w[lp] < _FINITE:
+                    continue
+                ns = sc - arc_w[lp]
+                if phone_of[lp] == phone_of[l]:            # run continues
+                    e = nxt.get((lp, g))
+                    if e is None or ns < e[0]:
+                        nxt[(lp, g)] = [ns, eid, 0]
+                else:                                      # advance G
+                    for j in gi.get((g, int(phone_of[lp])), ()):
+                        key = (lp, int(graph.dst[j]))
+                        s2 = ns + float(graph.weight[j])
+                        e = nxt.get(key)
+                        if e is None or s2 < e[0]:
+                            nxt[key] = [s2, eid, int(graph.olabel[j])]
+        frames.append(list(_prune(nxt, beam_threshold, max_active).items()))
+
+    best = None
+    for eid, ((l, g), (sc, _, _)) in enumerate(frames[-1]):
+        f = float(graph.final[g])
+        if np.isfinite(f) and (best is None or sc + f < best[0]):
+            best = (sc + f, eid)
+    if best is None:
+        raise ValueError("otf_decode: no accepting hypothesis (beam too "
+                         "narrow or lexicon cannot cover the utterance)")
+
+    path, wids = [], []
+    eid = best[1]
+    for t in range(T - 1, -1, -1):
+        (l, _), (_, parent, word) = frames[t][eid]
+        path.append(int(l))
+        if word:
+            wids.append(int(word))
+        eid = parent
+    path.reverse()
+    wids.reverse()
+    return [words[w - 1] for w in wids], path, float(best[0])

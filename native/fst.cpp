@@ -11,6 +11,7 @@
 //
 // Build: make -C native   (g++ -O3 -shared -fPIC)
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <cmath>
@@ -199,6 +200,138 @@ int32_t craft_shortest_path(
   for (size_t k = 0; k < ri.size(); ++k) out_il[k] = ri[ri.size() - 1 - k];
   for (size_t k = 0; k < ro.size(); ++k) out_ol[k] = ro[ro.size() - 1 - k];
   *out_weight = (float)best;
+  return 0;
+}
+
+// On-the-fly FST-composed beam Viterbi (CRF_ViterbiDecoder parity --
+// SURVEY.md §3.3): time-synchronous tokens (expanded label, grammar state)
+// through the phone-input search graph G = lexicon [o LM], Viterbi
+// recombination per token, threshold/max-active pruning per frame.  The
+// frame-run collapser is implicit (G advances only on phone change).
+// Twin of asr_craft_tpu/decode/otf.py (the correctness oracle).
+//
+// state: (T, L) float64 row-major; trans: (L, L) or (T, L, L) when
+// trans_frame_dep != 0.  beam_threshold < 0 / max_active <= 0 disable.
+// Returns 0 ok, 2 no accepting hypothesis, 3 word buffer too small.
+int32_t craft_otf_decode(
+    int32_t T, int32_t L, const double* state, const double* trans,
+    int32_t trans_frame_dep, int32_t num_states,
+    int32_t g_ns, int32_t g_start, int32_t g_na, const int32_t* g_src,
+    const int32_t* g_dst, const int32_t* g_il, const int32_t* g_ol,
+    const float* g_w, const float* g_final,
+    double beam_threshold, int32_t max_active,
+    int32_t max_words, int32_t* out_words, int32_t* out_nw,
+    int32_t* out_path, double* out_weight) {
+  const double kFinite = -1e29;  // potentials below = semiring zero
+  struct Token { int32_t l, g; double sc; int32_t parent, word; };
+
+  // G arc index by (state, phone ilabel)
+  std::unordered_map<int64_t, std::vector<int32_t>> gi;
+  gi.reserve(g_na * 2);
+  for (int32_t j = 0; j < g_na; ++j)
+    gi[(int64_t)g_src[j] << 32 | (uint32_t)g_il[j]].push_back(j);
+
+  std::vector<std::vector<Token>> frames(T);
+  std::unordered_map<int64_t, int32_t> slot;  // (l, g) -> index in cur
+  auto key_of = [&](int32_t l, int32_t g) {
+    return (int64_t)l * g_ns + g;
+  };
+  auto phone_of = [&](int32_t l) { return l / num_states + 1; };
+
+  auto relax = [&](std::vector<Token>& cur, int32_t l, int32_t g, double sc,
+                   int32_t parent, int32_t word) {
+    int64_t k = key_of(l, g);
+    auto it = slot.find(k);
+    if (it == slot.end()) {
+      slot.emplace(k, (int32_t)cur.size());
+      cur.push_back({l, g, sc, parent, word});
+    } else if (sc < cur[it->second].sc) {
+      cur[it->second] = {l, g, sc, parent, word};
+    }
+  };
+
+  auto prune = [&](std::vector<Token>& cur) {
+    if (cur.empty()) return;
+    if (beam_threshold >= 0) {
+      double best = cur[0].sc;
+      for (const Token& t : cur) best = std::min(best, t.sc);
+      std::vector<Token> kept;
+      kept.reserve(cur.size());
+      for (const Token& t : cur)
+        if (t.sc <= best + beam_threshold) kept.push_back(t);
+      cur.swap(kept);
+    }
+    if (max_active > 0 && (int32_t)cur.size() > max_active) {
+      std::nth_element(cur.begin(), cur.begin() + max_active - 1, cur.end(),
+                       [](const Token& a, const Token& b) {
+                         return a.sc < b.sc;
+                       });
+      cur.resize(max_active);
+    }
+  };
+
+  // frame 0: enter G with each label's phone
+  slot.clear();
+  for (int32_t l = 0; l < L; ++l) {
+    double s0 = state[l];
+    if (s0 < kFinite) continue;
+    auto it = gi.find((int64_t)g_start << 32 | (uint32_t)phone_of(l));
+    if (it == gi.end()) continue;
+    for (int32_t j : it->second)
+      relax(frames[0], l, g_dst[j], -s0 + g_w[j], -1, g_ol[j]);
+  }
+  prune(frames[0]);
+
+  for (int32_t t = 1; t < T; ++t) {
+    const double* st = state + (int64_t)t * L;
+    const double* tr = trans_frame_dep ? trans + (int64_t)t * L * L : trans;
+    slot.clear();
+    std::vector<Token>& prev = frames[t - 1];
+    for (int32_t eid = 0; eid < (int32_t)prev.size(); ++eid) {
+      const Token tok = prev[eid];
+      const double* trow = tr + (int64_t)tok.l * L;
+      int32_t ph = phone_of(tok.l);
+      for (int32_t lp = 0; lp < L; ++lp) {
+        double w = trow[lp] + st[lp];
+        if (w < kFinite) continue;
+        double ns = tok.sc - w;
+        int32_t php = phone_of(lp);
+        if (php == ph) {
+          relax(frames[t], lp, tok.g, ns, eid, 0);
+        } else {
+          auto it = gi.find((int64_t)tok.g << 32 | (uint32_t)php);
+          if (it == gi.end()) continue;
+          for (int32_t j : it->second)
+            relax(frames[t], lp, g_dst[j], ns + g_w[j], eid, g_ol[j]);
+        }
+      }
+    }
+    prune(frames[t]);
+  }
+
+  double best = kInf;
+  int32_t best_eid = -1;
+  for (int32_t eid = 0; eid < (int32_t)frames[T - 1].size(); ++eid) {
+    const Token& t = frames[T - 1][eid];
+    if (!std::isfinite(g_final[t.g])) continue;
+    double tot = t.sc + g_final[t.g];
+    if (tot < best) { best = tot; best_eid = eid; }
+  }
+  if (best_eid < 0) return 2;
+
+  std::vector<int32_t> words_rev;
+  int32_t eid = best_eid;
+  for (int32_t t = T - 1; t >= 0; --t) {
+    const Token& tok = frames[t][eid];
+    out_path[t] = tok.l;
+    if (tok.word) words_rev.push_back(tok.word);
+    eid = tok.parent;
+  }
+  if ((int32_t)words_rev.size() > max_words) return 3;
+  *out_nw = (int32_t)words_rev.size();
+  for (size_t k = 0; k < words_rev.size(); ++k)
+    out_words[k] = words_rev[words_rev.size() - 1 - k];
+  *out_weight = best;
   return 0;
 }
 

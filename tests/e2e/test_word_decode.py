@@ -91,6 +91,14 @@ def test_cli_word_decode(tmp_path):
         ws = [w for w, _ in entries]
         assert ws == sorted(ws), (key, ws)
 
+    # on-the-fly composed beam Viterbi (no lattice): exact beam == offline
+    stdout_otf = _run(*common, "--otf")
+    assert _wer(stdout_otf) == wer
+    # beam-pruned on-the-fly decode stays accurate on separable data
+    stdout_otf_beam = _run(*common, "--otf", "--beam_threshold", "30.0",
+                           "--max_active", "64")
+    assert _wer(stdout_otf_beam) <= wer + 0.02
+
 
 def test_cli_word_decode_with_lm(tmp_path):
     """An LM FST biased toward the reference transcripts must not hurt WER;

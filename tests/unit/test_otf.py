@@ -1,0 +1,107 @@
+"""On-the-fly FST-composed beam Viterbi (decode.otf) vs the offline
+composed-lattice decoder (decode.fst.decode_words): exact with no beam,
+sane under pruning, identical across py/native backends."""
+import numpy as np
+import pytest
+
+from asr_craft_tpu.decode import fst as F
+from asr_craft_tpu.decode.otf import build_search_graph, otf_decode_words
+
+LEX = {"ab": [0, 1], "ba": [1, 0], "cc": [2, 2], "abc": [0, 1, 2]}
+WORDS = list(LEX)
+
+
+def _problem(rng, T=12, L=3, num_states=1, scale=2.0):
+    Lx = L * num_states
+    state = rng.normal(size=(T, Lx)).astype(np.float64) * scale
+    trans = rng.normal(size=(Lx, Lx)).astype(np.float64) * 0.3
+    if num_states > 1:
+        from asr_craft_tpu.models.topology import Topology
+        trans = trans + np.asarray(
+            Topology(L, num_states).transition_penalty())
+    return state, trans
+
+
+@pytest.mark.parametrize("num_states", [1, 2])
+def test_otf_exact_matches_offline(rng, num_states):
+    state, trans = _problem(rng, num_states=num_states)
+    g = build_search_graph(LEX, WORDS)
+    for trial in range(3):
+        st = state + rng.normal(size=state.shape)
+        w_ref, path_ref, wt_ref = F.decode_words(
+            st, trans, len(st), LEX, WORDS, num_states=num_states,
+            backend="py")
+        w_otf, path_otf, wt_otf = otf_decode_words(
+            st, trans, len(st), g, WORDS, num_states=num_states,
+            backend="py")
+        assert w_otf == w_ref
+        assert path_otf == path_ref
+        np.testing.assert_allclose(wt_otf, wt_ref, rtol=1e-5)
+
+
+def test_otf_with_lm(rng):
+    state, trans = _problem(rng)
+    n = len(WORDS)
+    logp = np.log(np.full((n, n), 1.0 / n))
+    logp[0] = np.log(np.asarray([0.7, 0.1, 0.1, 0.1]))
+    lm = F.bigram_lm_fst(n, logp, np.full(n, np.log(1 / n)),
+                         np.full(n, -0.1))
+    g = build_search_graph(LEX, WORDS, lm=lm, lm_weight=2.0)
+    w_ref, _, wt_ref = F.decode_words(state, trans, len(state), LEX, WORDS,
+                                      lm=lm, lm_weight=2.0, backend="py")
+    w_otf, _, wt_otf = otf_decode_words(state, trans, len(state), g, WORDS,
+                                        backend="py")
+    assert w_otf == w_ref
+    np.testing.assert_allclose(wt_otf, wt_ref, rtol=1e-5)
+
+
+def test_otf_beam_pruning(rng):
+    state, trans = _problem(rng)
+    g = build_search_graph(LEX, WORDS)
+    _, _, wt_exact = otf_decode_words(state, trans, len(state), g, WORDS,
+                                      backend="py")
+    prev = np.inf
+    for thr in (0.5, 2.0, 20.0):
+        try:
+            _, _, wt = otf_decode_words(state, trans, len(state), g, WORDS,
+                                        beam_threshold=thr, backend="py")
+        except ValueError:
+            # over-narrow beam may prune every accepting hypothesis —
+            # the reference's failed-utterance case
+            assert thr < 20.0
+            continue
+        assert wt >= wt_exact - 1e-6           # beam can only lose paths
+        assert wt <= prev + 1e-6               # wider beam only improves
+        prev = wt
+    _, _, wt_wide = otf_decode_words(state, trans, len(state), g, WORDS,
+                                     beam_threshold=1e9, backend="py")
+    np.testing.assert_allclose(wt_wide, wt_exact, rtol=1e-6)
+    # max-active pruning: a moderate active set still decodes end-to-end
+    w1, path1, _ = otf_decode_words(state, trans, len(state), g, WORDS,
+                                    max_active=8, backend="py")
+    assert len(path1) == len(state)
+
+
+def test_otf_no_hypothesis_raises(rng):
+    state, trans = _problem(rng, T=1)   # single frame: no 2-phone word fits
+    g = build_search_graph({"ab": [0, 1]}, ["ab"])
+    with pytest.raises(ValueError):
+        otf_decode_words(state, trans, 1, g, ["ab"], backend="py")
+
+
+def test_otf_native_matches_py(rng):
+    from asr_craft_tpu.decode import fst_native
+    if not (fst_native.available() and hasattr(fst_native, "otf_decode")):
+        pytest.skip("native backend not built")
+    state, trans = _problem(rng, T=15)
+    g = build_search_graph(LEX, WORDS)
+    for kw in ({}, {"beam_threshold": 3.0}, {"max_active": 4},
+               {"beam_threshold": 5.0, "max_active": 8}):
+        w_py, p_py, wt_py = otf_decode_words(state, trans, len(state), g,
+                                             WORDS, backend="py", **kw)
+        w_nat, p_nat, wt_nat = otf_decode_words(state, trans, len(state), g,
+                                                WORDS, backend="native",
+                                                **kw)
+        assert w_nat == w_py, kw
+        assert p_nat == p_py, kw
+        np.testing.assert_allclose(wt_nat, wt_py, rtol=1e-5)
