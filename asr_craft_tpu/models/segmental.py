@@ -42,10 +42,23 @@ class SegCrfConfig:
     pooling: str = "mean"             # "mean" | "sum" frame pooling
     use_dur_feature: bool = True      # per-(duration, label) bias
     use_seg_bias: bool = True         # per-label bias
+    # Sub-states per segment (the reference's n-state segmental nodes,
+    # ``CRF_StdSegNStateNode`` — SURVEY.md §2.1).  A segment's frames are
+    # split into ``num_states`` contiguous proportional spans, each scored
+    # against its own frame-weight column (the canonical left-to-right
+    # alignment; span boundaries are static per duration, so pooling stays
+    # cumulative-sum gathers).  The exact upstream within-segment alignment
+    # rule is unrecoverable (empty reference mount, conf:M) — this is the
+    # TPU-native formulation of the capability.  1 = plain segments.
+    # ``use_dur_feature=False`` is the reference's *_WithoutDurLab* variant
+    # (no duration-dependent label features).
+    num_states: int = 1
     precision: str = "highest"
 
     def param_shapes(self) -> dict:
-        shapes = {"w_frame": (self.feat_dim, self.num_labels),
+        wf = ((self.feat_dim, self.num_labels) if self.num_states == 1
+              else (self.feat_dim, self.num_states, self.num_labels))
+        shapes = {"w_frame": wf,
                   "b_trans": (self.num_labels, self.num_labels)}
         if self.use_dur_feature:
             shapes["b_dur"] = (self.max_dur, self.num_labels)
@@ -62,29 +75,65 @@ class SegCrfConfig:
                 for k, (name, shape) in zip(keys, sorted(shapes.items()))}
 
 
+def nstate_cuts(max_dur: int, num_states: int):
+    """(Dmax, ns+1) span boundaries: a duration-(d+1) segment's sub-state
+    ``s`` covers frames [start + cut[d, s], start + cut[d, s+1]) with
+    proportional rounding.  Static, so n-state pooling stays cumsum
+    gathers.  Durations shorter than ``num_states`` leave later spans
+    empty (zero contribution)."""
+    import numpy as np
+    d = np.arange(max_dur) + 1
+    s = np.arange(num_states + 1)
+    return np.floor(s[None, :] * d[:, None] / num_states + 0.5).astype(
+        np.int32)
+
+
 def seg_potentials(cfg: SegCrfConfig, params, feats):
     """feats (B, T, D) -> (seg_score (B, T, Dmax, L), trans (L, L)).
 
     ``seg_score[b, t, d, l]``: pooled frame score of frames [t-d, t] plus
     duration/label biases (entries with d > t are invalid — masked in the
-    DP, arbitrary here).
+    DP, arbitrary here).  With ``num_states > 1`` the segment is split into
+    proportional sub-state spans, each pooled against its own frame-score
+    column (:func:`nstate_cuts`).
     """
     prec = None if cfg.precision == "default" else cfg.precision
-    frame = jnp.einsum("btd,dl->btl", feats, params["w_frame"],
-                       precision=prec, preferred_element_type=jnp.float32)
-    B, T, L = frame.shape
-    # segment sums via cumsum difference: sum(frames[t-d..t]) =
-    # cs[t+1] - cs[t-d], cs zero-padded at the front.
-    cs = jnp.cumsum(frame, axis=1)
-    cs = jnp.concatenate([jnp.zeros((B, 1, L), frame.dtype), cs], axis=1)
+    B, T, _ = feats.shape
     ds = jnp.arange(cfg.max_dur)
-    start = jnp.arange(T)[:, None] - ds[None, :]                 # (T, Dmax)
-    start_c = jnp.clip(start, 0, T)
-    seg_sum = cs[:, 1:][:, :, None, :] - cs[:, start_c]          # (B,T,Dmax,L)
-    if cfg.pooling == "mean":
-        seg = seg_sum / (ds + 1.0)[None, None, :, None]
+    if cfg.num_states == 1:
+        frame = jnp.einsum("btd,dl->btl", feats, params["w_frame"],
+                           precision=prec,
+                           preferred_element_type=jnp.float32)
+        L = frame.shape[-1]
+        # segment sums via cumsum difference: sum(frames[t-d..t]) =
+        # cs[t+1] - cs[t-d], cs zero-padded at the front.
+        cs = jnp.cumsum(frame, axis=1)
+        cs = jnp.concatenate([jnp.zeros((B, 1, L), frame.dtype), cs], axis=1)
+        start = jnp.arange(T)[:, None] - ds[None, :]             # (T, Dmax)
+        seg_sum = cs[:, 1:][:, :, None, :] - cs[:, jnp.clip(start, 0, T)]
+        if cfg.pooling == "mean":
+            seg = seg_sum / (ds + 1.0)[None, None, :, None]
+        else:
+            seg = seg_sum
     else:
-        seg = seg_sum
+        frame = jnp.einsum("btd,dsl->btsl", feats, params["w_frame"],
+                           precision=prec,
+                           preferred_element_type=jnp.float32)
+        ns, L = frame.shape[-2:]
+        cs = jnp.cumsum(frame, axis=1)                           # (B,T,ns,L)
+        cs = jnp.concatenate([jnp.zeros((B, 1, ns, L), frame.dtype), cs],
+                             axis=1)
+        cuts = jnp.asarray(nstate_cuts(cfg.max_dur, ns))         # (Dmax,ns+1)
+        start = jnp.arange(T)[:, None] - ds[None, :]             # (T, Dmax)
+        seg = 0.0
+        for s in range(ns):
+            lo = jnp.clip(start + cuts[None, :, s], 0, T)        # (T, Dmax)
+            hi = jnp.clip(start + cuts[None, :, s + 1], 0, T)
+            span = cs[:, hi, s, :] - cs[:, lo, s, :]             # (B,T,Dmax,L)
+            if cfg.pooling == "mean":
+                span_len = jnp.maximum(cuts[:, s + 1] - cuts[:, s], 1)
+                span = span / span_len[None, None, :, None]
+            seg = seg + span
     if cfg.use_dur_feature:
         seg = seg + params["b_dur"][None, None, :, :]
     if cfg.use_seg_bias:
@@ -187,7 +236,14 @@ def scrf_loss_fused(cfg: SegCrfConfig, params, feats, labels, lengths):
     classical-fwd-bwd custom VJP (ops.segmental_stream; fused Pallas
     kernels on TPU) and the numerator scores gold segments from cumulative
     frame scores.  Trains at BASELINE config-4 scale (B=64 T=512 Dmax=16)
-    on one chip — round-1 VERDICT missing #2."""
+    on one chip — round-1 VERDICT missing #2.
+
+    ``num_states > 1`` (n-state segmental) falls back to the dense path:
+    its per-span pooling needs ``num_states`` cumulative streams with
+    duration-dependent split gathers, which the single-window streaming
+    kernel does not cover."""
+    if cfg.num_states > 1:
+        return scrf_loss(cfg, params, feats, labels, lengths)
     frame, bias = _frame_scores_and_bias(cfg, params, feats)
     mean_pool = cfg.pooling == "mean"
     logZ = seg_log_partition_stream(

@@ -22,6 +22,9 @@ def main(argv=None):
     p.add_argument("--utts", type=int, default=100)
     p.add_argument("--labels", type=int, default=12)
     p.add_argument("--max_dur", type=int, default=16)
+    p.add_argument("--seg_states", type=int, default=1,
+                   help="sub-states per segment (n-state segmental, "
+                        "CRF_StdSegNStateNode capability)")
     p.add_argument("--epochs", type=int, default=300)
     p.add_argument("--lr", type=float, default=0.05)
     p.add_argument("--noise", type=float, default=0.3)
@@ -65,7 +68,8 @@ def main(argv=None):
         n = min(len(f), T)
         feats[i, :n], labels[i, :n], lengths[i] = f[:n], l[:n], n
 
-    cfg = SegCrfConfig(num_labels=L, feat_dim=L, max_dur=args.max_dur)
+    cfg = SegCrfConfig(num_labels=L, feat_dim=L, max_dur=args.max_dur,
+                       num_states=args.seg_states)
     params = cfg.init_params()
     feats, labels, lengths = map(jnp.asarray, (feats, labels, lengths))
 

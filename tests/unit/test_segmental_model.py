@@ -159,3 +159,64 @@ def test_scrf_loss_fused_sum_pool_no_biases(rng):
     for k in gd:
         np.testing.assert_allclose(np.asarray(gf[k]), np.asarray(gd[k]),
                                    rtol=5e-4, atol=1e-5, err_msg=k)
+
+
+def test_nstate_seg_potentials_oracle(rng):
+    """n-state segmental (CRF_StdSegNStateNode capability): span-split
+    pooling vs a direct NumPy loop."""
+    from asr_craft_tpu.models.segmental import nstate_cuts
+    B, T, D, L, ns, Dmax = 2, 7, 4, 3, 3, 5
+    cfg = SegCrfConfig(num_labels=L, feat_dim=D, max_dur=Dmax, num_states=ns,
+                       use_dur_feature=False, use_seg_bias=False)
+    params = cfg.init_params(jax.random.PRNGKey(4), scale=0.5)
+    feats = rng.normal(size=(B, T, D)).astype(np.float32)
+    seg, _ = seg_potentials(cfg, params, jnp.asarray(feats))
+    seg = np.asarray(seg)
+
+    w = np.asarray(params["w_frame"])           # (D, ns, L)
+    frame = np.einsum("btd,dsl->btsl", feats, w)
+    cuts = nstate_cuts(Dmax, ns)
+    for b in range(B):
+        for t in range(T):
+            for d in range(min(Dmax, t + 1)):
+                start = t - d
+                want = np.zeros(L)
+                for s in range(ns):
+                    lo, hi = start + cuts[d, s], start + cuts[d, s + 1]
+                    if hi > lo:
+                        want += frame[b, lo:hi, s].sum(0) / (hi - lo)
+                np.testing.assert_allclose(seg[b, t, d], want, atol=1e-4,
+                                           err_msg=f"{b},{t},{d}")
+
+
+def test_nstate_scrf_trains(rng):
+    """n-state SCRF end-to-end: loss decreases, decode stays valid."""
+    import optax
+    from asr_craft_tpu.models.segmental import scrf_frame_labels, scrf_loss_fused
+    cfg = SegCrfConfig(num_labels=3, feat_dim=3, max_dur=6, num_states=2)
+    params = cfg.init_params(jax.random.PRNGKey(5), scale=0.1)
+    feats = jnp.asarray(np.repeat(rng.normal(size=(4, 6, 3)), 3, axis=1)
+                        + 0.3 * rng.normal(size=(4, 18, 3)), jnp.float32)
+    # runs of exactly 3 frames with no adjacent repeats (runs stay <= Dmax)
+    base = np.cumsum(rng.integers(1, 3, size=(4, 6)), axis=1) % 3
+    labels = jnp.asarray(np.repeat(base, 3, axis=1), jnp.int32)
+    lengths = jnp.asarray([18, 18, 12, 9], jnp.int32)
+    opt = optax.adam(0.1)
+    ostate = opt.init(params)
+    losses = []
+
+    @jax.jit
+    def step(p, o):
+        (l, _), g = jax.value_and_grad(
+            lambda q: scrf_loss_fused(cfg, q, feats, labels, lengths),
+            has_aux=True)(p)
+        up, o = opt.update(g, o, p)
+        return optax.apply_updates(p, up), o, l
+
+    for _ in range(30):
+        params, ostate, loss = step(params, ostate)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    frames, scores = scrf_frame_labels(cfg, params, feats, lengths)
+    assert frames.shape == labels.shape
+    assert np.isfinite(np.asarray(scores)).all()
