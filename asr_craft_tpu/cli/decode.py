@@ -89,6 +89,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", default=None,
                    help="force a jax platform (cpu/tpu)")
+    p.add_argument("--kernel_backend", choices=["auto", "pallas", "xla"],
+                   default="auto",
+                   help="DP kernel implementation: Pallas TPU kernels or "
+                        "the XLA lax.scan path (parity/debug)")
     return p
 
 
@@ -97,6 +101,9 @@ def main(argv=None) -> int:
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
+    if args.kernel_backend != "auto":
+        from asr_craft_tpu import kernels
+        kernels.set_backend(args.kernel_backend)
     logger = MetricsLogger()
 
     feats, labels, phone_seqs = build_corpus(args)

@@ -96,6 +96,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--platform", default=None,
                    help="force a jax platform (cpu/tpu); needed because "
                         "some environments clobber JAX_PLATFORMS")
+    p.add_argument("--kernel_backend", choices=["auto", "pallas", "xla"],
+                   default="auto",
+                   help="DP kernel implementation: Pallas TPU kernels or "
+                        "the XLA lax.scan path (parity/debug)")
     # observability / sanitizers (SURVEY.md §5)
     p.add_argument("--profile_dir", default=None,
                    help="dump a jax.profiler trace of training here")
@@ -109,6 +113,9 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.kernel_backend != "auto":
+        from asr_craft_tpu import kernels
+        kernels.set_backend(args.kernel_backend)
     if args.debug_nans:
         from asr_craft_tpu.utils.diagnostics import enable_debug_nans
         enable_debug_nans()

@@ -1,0 +1,205 @@
+"""Roofline model for the DP hot paths: how far from speed-of-light are we?
+
+VERDICT.md (round 1, Next #3) required that "speed-of-light" stop being an
+assertion: per kernel, count bytes streamed to/from HBM and MXU FLOPs, derive
+a SOL time from chip peaks, and print "X% of memory-bound SOL" from bench.py.
+
+Model
+-----
+Every phase of the train/decode step is characterized by (bytes moved between
+HBM and VMEM, MXU FLOPs).  Its speed-of-light time is
+
+    sol = max(bytes / HBM_bandwidth, flops / MXU_peak)
+
+and phases execute serially (each consumes the previous one's output), so the
+step SOL is the sum.  The byte counts mirror the *actual* implementation —
+padded kernel shapes (L rounded up to the 128-lane tile, T to the 8-frame
+block), the broadcast label planes the dual kernels stream, and the XLA-side
+gradient-assembly reads — not an idealized algorithm.  That makes the model
+an honest account of this code, and doubles as a traffic budget: a phase
+whose modeled bytes shrink is a real optimization target.
+
+Caveat (documented, not modeled): the alpha/beta scans are sequential in T
+(T/8 grid steps, 8 unrolled frames each), so at small B·L a latency floor —
+per-frame MXU issue + VPU logsumexp dependency chains — can sit above the
+bandwidth bound.  The gap between measured time and SOL at the flagship
+shape is attributed to exactly this serial floor plus pipeline bubbles;
+``measure_stream_bw`` pins down the achievable-bandwidth part empirically.
+
+Peaks: TPU v5e (v5 lite) — 197 bf16 TFLOP/s on the MXU, 819 GB/s HBM.  The
+DP kernels run fp32 (parity bar, BASELINE.md); fp32 matmul emulated via
+bf16x6 passes is ~197/6 TFLOP/s.  All phases here are far from compute-bound
+either way.
+
+Reference: the C++ toolkit's per-frame node loops (SURVEY.md §3.1,
+``CRF_StateNode::computeAlpha``/``computeExpF``) have no analogue of this —
+single-core scalar code is latency-bound thousands of times below any
+roofline; this module exists because the TPU build is held to the chip bar.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+
+__all__ = ["ChipSpec", "Phase", "V5E", "train_step_phases", "decode_phases",
+           "summarize", "measure_stream_bw"]
+
+_LANE = 128
+_TBLOCK = 8
+_SUBLANE = 8
+_F32 = 4
+
+
+def _up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class ChipSpec:
+    name: str
+    hbm_gbps: float        # HBM bandwidth, GB/s
+    fp32_tflops: float     # MXU fp32 (HIGHEST precision) TFLOP/s
+    bf16_tflops: float
+
+
+V5E = ChipSpec(name="TPU v5e", hbm_gbps=819.0, fp32_tflops=197.0 / 6,
+               bf16_tflops=197.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class Phase:
+    name: str
+    bytes: float
+    flops: float
+
+    def sol_s(self, spec: ChipSpec = V5E, bw_gbps: float | None = None,
+              fp32: bool = True) -> float:
+        bw = (bw_gbps or spec.hbm_gbps) * 1e9
+        peak = (spec.fp32_tflops if fp32 else spec.bf16_tflops) * 1e12
+        return max(self.bytes / bw, self.flops / peak)
+
+
+def train_step_phases(B: int, T: int, L: int, D: int,
+                      n_lambda: int | None = None) -> list[Phase]:
+    """Traffic/FLOP model of one flagship train step (loss + grad + update):
+    dense feature map -> dual-lattice Pallas alpha/beta kernels
+    (kernels/dual_pallas.py) -> classical-gradient assembly (ops/mxu.py
+    _make_nll_dual bwd) -> optimizer.  Shapes follow the code, including
+    tile padding and the (T, B, 128) broadcast label planes."""
+    Tp, Bp, Lp = _up(T, _TBLOCK), _up(B, _SUBLANE), _up(L, _LANE)
+    tbl = T * B * L * _F32           # one unpadded DP tensor
+    tblp = Tp * Bp * Lp * _F32       # one padded DP tensor
+    lab = Tp * Bp * _LANE * _F32     # broadcast int32 label plane
+    btd = B * T * D * _F32
+    n_lambda = n_lambda or (D * L + L * L + 2 * L)
+
+    phases = [
+        # potentials: feats @ W (one MXU matmul), transpose to time-major,
+        # pad to kernel tiles (read unpadded + write padded).
+        Phase("featuremap", btd + tbl + tbl + tblp, 2.0 * B * T * D * L),
+        # dual alpha kernel: state in, labels in, (af, ac) out; per frame a
+        # (2B, L) @ (L, L) rescaled-exp matmul.
+        Phase("dual_forward", tblp + lab + 2 * tblp,
+              2.0 * Tp * (2 * Bp) * Lp * Lp),
+        # dual beta kernel: cur+next state blocks (2x read), labels 2x,
+        # (bf, bc) out.
+        Phase("dual_backward", 2 * tblp + 2 * lab + 2 * tblp,
+              2.0 * Tp * (2 * Bp) * Lp * Lp),
+        # XLA gradient assembly: gamma = exp(a + b - logZ) over both
+        # lattices (read af, ac, bf, bc; write fused g_state), then the xi
+        # contraction U^T V with U, V rebuilt from (af, bf, state) and
+        # (ac, bc, state) — einsum reads its operands once more.
+        Phase("grad_assembly", (4 * tbl + tbl) + 6 * tbl,
+              2.0 * 2 * (T - 1) * B * L * L + 10.0 * T * B * L),
+        # feature-map backward: dW = feats^T @ g_state.
+        Phase("featuremap_bwd", btd + tbl, 2.0 * B * T * D * L),
+        # optimizer update on the flat lambda vector (negligible).
+        Phase("optimizer", 8 * n_lambda * _F32, 4.0 * n_lambda),
+    ]
+    return phases
+
+
+def decode_phases(B: int, T: int, L: int, D: int,
+                  num_states: int = 1) -> list[Phase]:
+    """Traffic model of one exact Viterbi decode step: feature map ->
+    topology-factored max-plus kernel (kernels/viterbi_pallas.py, deltas
+    written per frame) -> host-side delta traceback re-read."""
+    Tp, Bp, Lp = _up(T, _TBLOCK), _up(B, _SUBLANE), _up(L, _LANE)
+    tbl = T * B * L * _F32
+    tblp = Tp * Bp * Lp * _F32
+    btd = B * T * D * _F32
+    P = L // max(num_states, 1)
+    Pp = _up(P, _LANE)
+    return [
+        Phase("featuremap", btd + tbl + tbl + tblp, 2.0 * B * T * D * L),
+        # forward max-plus: state in, per-frame delta scores + argmax out.
+        Phase("viterbi_forward", tblp + 2 * tblp,
+              2.0 * Tp * Bp * Pp * Pp * max(num_states, 1)),
+        # traceback: one delta plane re-read, path out (int32 (T, B)).
+        Phase("viterbi_traceback", tblp + Tp * Bp * _F32, 2.0 * T * B * L),
+    ]
+
+
+def summarize(phases: list[Phase], measured_s: float,
+              spec: ChipSpec = V5E,
+              measured_bw_gbps: float | None = None) -> dict:
+    """Roll phases up into the bench.py roofline record."""
+    total_bytes = sum(p.bytes for p in phases)
+    total_flops = sum(p.flops for p in phases)
+    sol = sum(p.sol_s(spec) for p in phases)
+    out = {
+        "chip": spec.name,
+        "hbm_gbps_peak": spec.hbm_gbps,
+        "gbytes_streamed": round(total_bytes / 1e9, 4),
+        "gflops": round(total_flops / 1e9, 2),
+        "sol_ms": round(sol * 1e3, 3),
+        "measured_ms": round(measured_s * 1e3, 3),
+        "pct_of_sol": round(100.0 * sol / measured_s, 1),
+        "achieved_gbps": round(total_bytes / measured_s / 1e9, 1),
+        "phases": {p.name: {"mb": round(p.bytes / 1e6, 1),
+                            "gflop": round(p.flops / 1e9, 2),
+                            "sol_ms": round(p.sol_s(spec) * 1e3, 3)}
+                   for p in phases},
+    }
+    if measured_bw_gbps:
+        sol_ach = sum(p.sol_s(spec, bw_gbps=measured_bw_gbps)
+                      for p in phases)
+        out["hbm_gbps_achievable"] = round(measured_bw_gbps, 1)
+        out["pct_of_achievable_sol"] = round(100.0 * sol_ach / measured_s, 1)
+    return out
+
+
+def measure_stream_bw(n_mb: int = 256, iters: int = 48) -> float:
+    """Empirical streaming bandwidth (GB/s) on the default device: a jitted
+    out-of-place saxpy (read N + write N bytes per call), chained so each
+    call depends on the last, ended with a host scalar fetch (the reliable
+    completion barrier in this environment — see bench.py timing note).
+
+    The host fetch costs a constant ~tens of ms over the remote-TPU tunnel,
+    which at saxpy speeds would swamp the measurement; timing two different
+    iteration counts and differencing cancels that constant."""
+    import jax
+    import jax.numpy as jnp
+
+    n = n_mb * 1024 * 1024 // _F32
+    x = jnp.ones((n,), jnp.float32)
+
+    @jax.jit
+    def f(x):
+        return x * 1.0000001 + 1e-9
+
+    x = f(x)
+    float(x[0])                      # warm + sync
+
+    def run(k):
+        nonlocal x
+        t0 = time.perf_counter()
+        for _ in range(k):
+            x = f(x)
+        float(x[0])
+        return time.perf_counter() - t0
+
+    lo = min(run(iters // 4) for _ in range(2))
+    hi = min(run(iters) for _ in range(2))
+    dt = max(hi - lo, 1e-6)
+    return 2.0 * n * _F32 * (iters - iters // 4) / dt / 1e9

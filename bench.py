@@ -59,7 +59,7 @@ def bench_train_step(calls=6, spc=8, warmup=1):
             params, opt_state, avg, stacked, lr)
     float(ms["loss"][-1])  # host fetch: forces the full dependency chain
     dt = (time.perf_counter() - t0) / (calls * spc)
-    return B * T * FRAME_S / dt
+    return B * T * FRAME_S / dt, dt
 
 
 def bench_decode(steps=30, warmup=3):
@@ -86,14 +86,37 @@ def bench_decode(steps=30, warmup=3):
         feats, phones = step(params, feats, batch["lengths"])
     float(feats[0, 0, 0])
     dt = (time.perf_counter() - t0) / steps
-    return B * T * FRAME_S / dt
+    return B * T * FRAME_S / dt, dt
+
+
+def bench_roofline(train_dt, decode_dt):
+    """Quantified speed-of-light (VERDICT r1 Next #3): modeled HBM traffic /
+    MXU FLOPs per step vs chip peaks and empirically measured stream BW."""
+    from __graft_entry__ import _flagship
+    from asr_craft_tpu.utils import roofline as rl
+
+    cfg = _flagship()
+    L = cfg.num_labels * cfg.num_states
+    D = cfg.feat_dim
+    bw = rl.measure_stream_bw()
+    train = rl.summarize(rl.train_step_phases(B, T, L, D), train_dt,
+                         measured_bw_gbps=bw)
+    dec = rl.summarize(
+        rl.decode_phases(B, T, L, D, num_states=cfg.num_states), decode_dt,
+        measured_bw_gbps=bw)
+    return train, dec
 
 
 def main():
-    train_tput = bench_train_step()
-    decode_tput = bench_decode()
+    train_tput, train_dt = bench_train_step()
+    decode_tput, decode_dt = bench_decode()
+    rl_train, rl_dec = bench_roofline(train_dt, decode_dt)
+    print(json.dumps({"roofline_train": rl_train}))
+    print(json.dumps({"roofline_decode": rl_dec}))
     print(json.dumps({"aux": {"decode_audio_s_per_s": round(decode_tput, 1),
-                              "B": B, "T": T}}))
+                              "B": B, "T": T,
+                              "train_pct_of_sol": rl_train["pct_of_sol"],
+                              "decode_pct_of_sol": rl_dec["pct_of_sol"]}}))
     print(json.dumps({
         "metric": "train_audio_s_per_s_per_chip",
         "value": round(train_tput, 1),
