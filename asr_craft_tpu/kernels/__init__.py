@@ -34,5 +34,6 @@ from asr_craft_tpu.kernels.segmental_pallas import (segmental_backward_pallas,
                                                     segmental_grad_pallas)
 from asr_craft_tpu.kernels.viterbi_pallas import (viterbi_pallas,
                                                   viterbi_pallas_nstate)
-from asr_craft_tpu.kernels.dual_pallas import (backward_dual_pallas,
+from asr_craft_tpu.kernels.dual_pallas import (backward_dual_grad_pallas,
+                                               backward_dual_pallas,
                                                forward_dual_pallas)

@@ -101,16 +101,14 @@ def train_step_phases(B: int, T: int, L: int, D: int,
         # (2B, L) @ (L, L) rescaled-exp matmul.
         Phase("dual_forward", tblp + lab + 2 * tblp,
               2.0 * Tp * (2 * Bp) * Lp * Lp),
-        # dual beta kernel: cur+next state blocks (2x read), labels 2x,
-        # (bf, bc) out.
-        Phase("dual_backward", 2 * tblp + 2 * lab + 2 * tblp,
-              2.0 * Tp * (2 * Bp) * Lp * Lp),
-        # XLA gradient assembly: gamma = exp(a + b - logZ) over both
-        # lattices (read af, ac, bf, bc; write fused g_state), then the xi
-        # contraction U^T V with U, V rebuilt from (af, bf, state) and
-        # (ac, bc, state) — einsum reads its operands once more.
-        Phase("grad_assembly", (4 * tbl + tbl) + 6 * tbl,
-              2.0 * 2 * (T - 1) * B * L * L + 10.0 * T * B * L),
+        # fused beta + gradient kernel (dual_pallas.backward_dual_grad):
+        # cur+next state blocks (2x read), labels 2x, alphas af + ac in,
+        # g_state out (+ unpad/transpose round-trip), UV accumulated in
+        # VMEM; per frame the beta matmul AND the xi (L, B)x(B, L) matmul
+        # for both lattices.  Betas never touch HBM.
+        Phase("dual_backward_grad",
+              2 * tblp + 2 * lab + 2 * tblp + tblp + tblp + tbl,
+              2.0 * 2 * Tp * (2 * Bp) * Lp * Lp),
         # feature-map backward: dW = feats^T @ g_state.
         Phase("featuremap_bwd", btd + tbl, 2.0 * B * T * D * L),
         # optimizer update on the flat lambda vector (negligible).

@@ -101,3 +101,44 @@ def test_nll_dual_weighted_outputs_grad(rng):
     g2 = jax.grad(f_ref)(state)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=3e-3, atol=2e-5)
+
+
+@pytest.mark.parametrize("B,T,L,ns", [(2, 9, 4, 1), (3, 13, 6, 2),
+                                      (2, 10, 144, 3)])
+def test_backward_dual_grad_fused_matches_classical(rng, B, T, L, ns):
+    """Fused beta+gradient kernel == the two-kernel + XLA-assembly path."""
+    from asr_craft_tpu.kernels.dual_pallas import backward_dual_grad_pallas
+
+    state, trans, labels, lengths = _problem(rng, B, T, L, ns)
+    state_tm = jnp.moveaxis(state, 1, 0)
+    labels_tm = jnp.moveaxis(labels, 1, 0)
+    af, ac, zf, zc = forward_dual_pallas(state_tm, trans, labels_tm,
+                                         lengths, num_states=ns,
+                                         interpret=True)
+    wf = jnp.asarray(rng.normal(size=(B,)), jnp.float32)
+    wc = jnp.asarray(rng.normal(size=(B,)), jnp.float32)
+
+    g_state_tm, UV = backward_dual_grad_pallas(
+        state_tm, trans, labels_tm, lengths, af, ac, zf, zc, wf, wc,
+        num_states=ns, interpret=True)
+
+    # classical reference (the XLA assembly path, as in _make_nll_dual.bwd)
+    bf, bc = backward_dual_pallas(state_tm, trans, labels_tm, lengths,
+                                  num_states=ns, interpret=True)
+    valid = (jnp.arange(T)[:, None] < lengths[None, :])
+    gamma_f = jnp.exp(af + bf - zf[None, :, None])
+    gamma_c = jnp.exp(ac + bc - zc[None, :, None])
+    ref_g_state = jnp.where(
+        valid[..., None],
+        gamma_f * wf[None, :, None] + gamma_c * wc[None, :, None], 0.0)
+    np.testing.assert_allclose(np.asarray(g_state_tm),
+                               np.asarray(ref_g_state), **TOL)
+
+    clamp = _clamp_penalty(labels, L, ns)
+    Uf, Vf = mxu._xi_uv(af, bf, state, zf, lengths, wf)
+    Uc, Vc = mxu._xi_uv(ac, bc, state + clamp, zc, lengths, wc)
+    U = jnp.concatenate([Uf, Uc], axis=0)
+    V = jnp.concatenate([Vf, Vc], axis=0)
+    ref_UV = jnp.einsum("tbp,tbl->pl", U, V)
+    np.testing.assert_allclose(np.asarray(UV), np.asarray(ref_UV),
+                               rtol=2e-3, atol=2e-4)

@@ -12,8 +12,8 @@ from asr_craft_tpu.utils import roofline as rl
 def test_train_phases_positive_and_ordered():
     phases = rl.train_step_phases(B=64, T=512, L=144, D=144)
     names = [p.name for p in phases]
-    assert names == ["featuremap", "dual_forward", "dual_backward",
-                     "grad_assembly", "featuremap_bwd", "optimizer"]
+    assert names == ["featuremap", "dual_forward", "dual_backward_grad",
+                     "featuremap_bwd", "optimizer"]
     for p in phases:
         assert p.bytes > 0 and p.flops > 0
         assert p.sol_s() > 0
