@@ -34,10 +34,17 @@ def test_padding_reflected_in_kernel_phases():
     assert ph["featuremap_bwd"].bytes < 2 * tblp
 
 
-def test_dp_kernels_are_memory_bound_at_flagship_shape():
+def test_flagship_bounds_per_phase():
+    # At the flagship shape the streaming phases are memory-bound while the
+    # fused beta+grad kernel (2x in-kernel matmul work) is fp32-MXU-bound.
     for p in rl.train_step_phases(64, 512, 144, 144):
         bw_s = p.bytes / (rl.V5E.hbm_gbps * 1e9)
+        mxu_s = p.flops / (rl.V5E.fp32_tflops * 1e12)
         assert p.sol_s() >= bw_s * 0.999
+        if p.name in ("dual_forward", "dual_backward_grad"):
+            assert mxu_s > bw_s
+        elif p.name in ("featuremap", "featuremap_bwd"):
+            assert bw_s > mxu_s
 
 
 def test_summarize_fields():
