@@ -1,0 +1,254 @@
+"""Fill the BASELINE.md self-measured table (VERDICT r1 Next #7).
+
+For each of the five BASELINE configs, runs the real CLIs/recipes on the
+attached TPU chip and records: PER on the Pallas-kernel path AND the XLA
+lax.scan ("oracle") path — which must agree — and train/decode throughput in
+audio-seconds/s/chip.  The time-sharded decode row (VERDICT Weak #6) is
+measured on the forced 8-device CPU mesh, sharded-vs-unsharded wall clock,
+because only one physical TPU chip is reachable here.
+
+Every run is a subprocess so kernel-backend switches and platform choices
+cannot leak through jit caches.  Results land in runs/baseline_table.json;
+BASELINE.md is transcribed from it by hand (the numbers are the artifact).
+
+Usage:  python runs/fill_baseline.py [--fast]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_jsonl(args, env_extra=None, timeout=900):
+    """Run a subprocess, return parsed JSONL records from stdout."""
+    env = dict(os.environ)
+    env.setdefault("PYTHONPATH", REPO)
+    if env_extra:
+        env.update(env_extra)
+    proc = subprocess.run(args, cwd=REPO, env=env, timeout=timeout,
+                          capture_output=True, text=True)
+    recs = []
+    for line in proc.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                recs.append(json.loads(line))
+            except json.JSONDecodeError:
+                pass
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr[-2000:] + "\n")
+        raise RuntimeError(f"{args} -> rc={proc.returncode}")
+    return recs
+
+
+def last(recs, kind):
+    out = [r for r in recs if r.get("kind") == kind]
+    return out[-1] if out else {}
+
+
+def train_and_decode(name, train_args, decode_args, fast, platform="tpu"):
+    """Train once, decode on both kernel backends (TPU) or the XLA oracle
+    path (CPU fallback when the chip is unreachable)."""
+    out_dir = f"/tmp/baseline_{platform}_{name}"
+    epochs = "4" if fast else "10"
+    base = [sys.executable, "-m", "asr_craft_tpu.cli.train",
+            "--out_dir", out_dir, "--crf_epochs", epochs,
+            "--bucket_sizes", "256"] + train_args
+    if platform == "cpu":
+        base += ["--platform", "cpu", "--kernel_backend", "xla"]
+    else:
+        # amortize remote-tunnel dispatch latency (see bench.py)
+        base += ["--steps_per_call", "4"]
+    recs = run_jsonl(base)
+    ep = last(recs, "train_epoch")
+    ev = last(recs, "eval")
+    key = "train_audio_s_per_s" if platform == "tpu" else \
+        "train_audio_s_per_s_cpu"
+    row = {key: ep.get("audio_s_per_s"),
+           "cv_per": ev.get("per"), "cv_frame_acc": ev.get("frame_accuracy")}
+    dec = [sys.executable, "-m", "asr_craft_tpu.cli.decode",
+           "--weight_file", os.path.join(out_dir, "weights.final.dat"),
+           ] + decode_args
+    backends = ("pallas", "xla") if platform == "tpu" else ("xla",)
+    for backend in backends:
+        extra = ["--kernel_backend", backend]
+        if platform == "cpu":
+            extra += ["--platform", "cpu"]
+        d = last(run_jsonl(dec + extra), "decode_done")
+        suffix = backend if platform == "tpu" else "oracle_cpu"
+        row[f"per_{suffix}"] = d.get("per")
+    return row
+
+
+def scrf_rows(fast, platform="tpu"):
+    ep = "120" if fast else "300"
+    row = {}
+    if platform == "tpu":
+        # Pallas (fused streaming loss) on TPU
+        r = run_jsonl([sys.executable, "recipes/scrf.py", "--epochs", ep,
+                       "--utts", "60"])
+        row["per_pallas"] = last(r, "eval").get("per")
+    # dense materialized oracle loss on CPU (the parity reference)
+    r = run_jsonl([sys.executable, "recipes/scrf.py", "--epochs", ep,
+                   "--utts", "60", "--dense_loss", "--platform", "cpu"])
+    row["per_oracle_cpu"] = last(r, "eval").get("per")
+    # streaming fused loss on the XLA scan path (CPU) — the pair that must
+    # agree with the dense oracle regardless of chip availability
+    r = run_jsonl([sys.executable, "recipes/scrf.py", "--epochs", ep,
+                   "--utts", "60", "--platform", "cpu"])
+    row["per_fused_cpu"] = last(r, "eval").get("per")
+    if platform != "tpu":
+        return row
+    # production-shape train-step throughput on the chip (B=64 T=512 L=48
+    # Dmax=16 — the 8.6 GB-if-materialized shape; the streaming VJP runs it)
+    code = r"""
+import json, time
+import jax, jax.numpy as jnp, numpy as np, optax
+from asr_craft_tpu.models.segmental import SegCrfConfig, scrf_loss_fused
+B, T, L, D = 64, 512, 48, 144
+cfg = SegCrfConfig(num_labels=L, feat_dim=D, max_dur=16)
+params = cfg.init_params()
+rng = np.random.default_rng(0)
+feats = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+runs = np.repeat(rng.integers(0, L, size=(B, T // 4)), 4, axis=1)[:, :T]
+labels = jnp.asarray(runs, jnp.int32)
+lengths = jnp.full((B,), T, jnp.int32)
+opt = optax.sgd(0.05)
+opt_state = opt.init(params)
+@jax.jit
+def step(params, opt_state, feats):
+    loss, g = jax.value_and_grad(
+        lambda p: scrf_loss_fused(cfg, p, feats, labels, lengths)[0])(params)
+    u, opt_state = opt.update(g, opt_state)
+    return optax.apply_updates(params, u), opt_state, loss, feats + 0 * loss
+params, opt_state, loss, feats = step(params, opt_state, feats)
+float(loss)
+t0 = time.perf_counter()
+N = 6
+for _ in range(N):
+    params, opt_state, loss, feats = step(params, opt_state, feats)
+float(loss)
+dt = (time.perf_counter() - t0) / N
+print(json.dumps({"kind": "scrf_prod", "ms_per_step": dt * 1e3,
+                  "audio_s_per_s": B * T * 0.01 / dt}))
+"""
+    r = run_jsonl([sys.executable, "-c", code])
+    p = last(r, "scrf_prod")
+    row["train_audio_s_per_s"] = p.get("audio_s_per_s")
+    row["train_ms_per_step_prod"] = p.get("ms_per_step")
+    return row
+
+
+def timeshard_row():
+    """Sharded-vs-unsharded decode wall clock on the 8-device CPU mesh
+    (VERDICT Weak #6: measure the honest O(L'^3) cost)."""
+    code = r"""
+import json, time
+import jax, jax.numpy as jnp, numpy as np
+from asr_craft_tpu.parallel.timeshard import time_mesh, sharded_viterbi
+from asr_craft_tpu.ops.viterbi import viterbi_batch
+B, T, L = 8, 512, 48
+rng = np.random.default_rng(0)
+state = jnp.asarray(rng.normal(size=(B, T, L)), jnp.float32)
+trans = jnp.asarray(rng.normal(size=(L, L)), jnp.float32)
+lengths = jnp.full((B,), T, jnp.int32)
+mesh = time_mesh(8)
+sh = jax.jit(lambda s: sharded_viterbi(s, trans, lengths, mesh))
+un = jax.jit(lambda s: viterbi_batch(s, trans, lengths))
+for f, name in ((sh, "sharded_8dev"), (un, "unsharded_1dev")):
+    out = f(state); jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        out = f(state)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / 5
+    print(json.dumps({"kind": name, "ms": dt * 1e3,
+                      "audio_s_per_s": B * T * 0.01 / dt}))
+"""
+    r = run_jsonl([sys.executable, "-c", code],
+                  env_extra={"JAX_PLATFORMS": "cpu",
+                             "XLA_FLAGS":
+                             "--xla_force_host_platform_device_count=8"})
+    return {"sharded_8dev_cpu": last(r, "sharded_8dev"),
+            "unsharded_1dev_cpu": last(r, "unsharded_1dev")}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--fast", action="store_true")
+    p.add_argument("--only", help="comma-list of rows to run")
+    p.add_argument("--platform", choices=["tpu", "cpu"], default="tpu",
+                   help="cpu: oracle-path PER rows only (chip unreachable)")
+    p.add_argument("--merge", action="store_true",
+                   help="merge into an existing baseline_table.json")
+    args = p.parse_args(argv)
+    only = set(args.only.split(",")) if args.only else None
+    plat = args.platform
+
+    out = os.path.join(REPO, "runs", "baseline_table.json")
+    table = {}
+    if args.merge and os.path.exists(out):
+        with open(out) as f:
+            table = json.load(f)
+
+    jobs = {
+        "timit_mono": lambda: train_and_decode(
+            "mono",
+            ["--crf_label_size", "48", "--window_extent", "1",
+             "--crf_lr", "0.5", "--batch_size", "32",
+             "--synthetic_utts", "200"],
+            ["--crf_label_size", "48", "--window_extent", "1",
+             "--timit_fold", "--synthetic_utts", "48"], args.fast, plat),
+        "timit_triphone": lambda: train_and_decode(
+            "tri",
+            ["--crf_label_size", "48", "--crf_states", "3",
+             "--window_extent", "1", "--crf_transftr_start", "0",
+             "--crf_transftr_end", "144", "--crf_lr", "0.05",
+             "--batch_size", "32", "--synthetic_utts", "200"],
+            ["--crf_label_size", "48", "--crf_states", "3",
+             "--window_extent", "1", "--crf_transftr_start", "0",
+             "--crf_transftr_end", "144", "--timit_fold",
+             "--synthetic_utts", "48"], args.fast, plat),
+        "wsj_crandem_beam": lambda: train_and_decode(
+            "wsj",
+            ["--crf_label_size", "42", "--window_extent", "2",
+             "--normalize", "utt", "--crf_lr", "0.05",
+             "--batch_size", "48", "--synthetic_utts", "200"],
+            ["--crf_label_size", "42", "--window_extent", "2",
+             "--normalize", "utt", "--beam_threshold", "8.0",
+             "--synthetic_utts", "48"], args.fast, plat),
+        "scrf": lambda: scrf_rows(args.fast, plat),
+        "swbd_scale": lambda: train_and_decode(
+            "swbd",
+            ["--crf_label_size", "46", "--crf_states", "3",
+             "--window_extent", "2", "--normalize", "global",
+             "--crf_lr", "0.03", "--batch_size", "64",
+             "--synthetic_utts", "300"],
+            ["--crf_label_size", "46", "--crf_states", "3",
+             "--window_extent", "2", "--normalize", "global",
+             "--synthetic_utts", "48"], args.fast, plat),
+        "timeshard_decode": timeshard_row,
+    }
+    for name, job in jobs.items():
+        if only and name not in only:
+            continue
+        print(f"=== {name}", file=sys.stderr)
+        try:
+            row = job()
+        except Exception as e:  # record the failure, keep measuring
+            row = {"error": str(e)[:500]}
+        table.setdefault(name, {}).update(row)
+        print(json.dumps({name: table[name]}), file=sys.stderr)
+
+    with open(out, "w") as f:
+        json.dump(table, f, indent=1)
+    print(json.dumps(table, indent=1))
+
+
+if __name__ == "__main__":
+    main()
