@@ -103,6 +103,43 @@ def test_nll_dual_weighted_outputs_grad(rng):
                                rtol=3e-3, atol=2e-5)
 
 
+@pytest.mark.parametrize("ns", [1, 3])
+def test_nll_dual_pallas_branch_glue(rng, monkeypatch, ns):
+    """The fused-pallas branch of nll_dual's fwd/bwd (ops/mxu.py
+    _make_nll_dual with kernels.backend() == 'pallas') vs the xla branch —
+    covers the moveaxis/arg-wiring glue, not just the kernels in isolation
+    (ADVICE r2 item 1)."""
+    import functools
+
+    from asr_craft_tpu import kernels
+
+    B, T, L = 2, 11, 3 * ns
+    state, trans, labels, lengths = _problem(rng, B, T, L, ns)
+
+    def f(s, t):
+        nll, zf, zc = mxu.nll_dual(s, t, labels, lengths, ns)
+        return jnp.sum(nll * 2.0 + zf * 0.5 - zc * 0.25)
+
+    kernels.set_backend("xla")
+    try:
+        v_ref, g_ref = jax.value_and_grad(f, argnums=(0, 1))(state, trans)
+
+        for name in ("forward_dual_pallas", "backward_dual_pallas",
+                     "backward_dual_grad_pallas"):
+            monkeypatch.setattr(kernels, name, functools.partial(
+                getattr(kernels, name), interpret=True))
+        kernels.set_backend("pallas")
+        v_pl, g_pl = jax.value_and_grad(f, argnums=(0, 1))(state, trans)
+    finally:
+        kernels.set_backend("auto")
+
+    np.testing.assert_allclose(float(v_pl), float(v_ref), rtol=1e-5,
+                               atol=1e-5)
+    for a, b in zip(g_pl, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-3, atol=2e-5)
+
+
 @pytest.mark.parametrize("B,T,L,ns", [(2, 9, 4, 1), (3, 13, 6, 2),
                                       (2, 10, 144, 3)])
 def test_backward_dual_grad_fused_matches_classical(rng, B, T, L, ns):
