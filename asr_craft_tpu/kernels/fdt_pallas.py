@@ -1,0 +1,573 @@
+"""Fused Pallas kernels for frame-dependent transition features (config 2).
+
+The factored lattice (ops/fdt.py: self / advance / cross-phone potential
+planes) needs ``(2 L' + P^2)`` potential values per (frame, utterance) —
+340 MB per pass at flagship shapes if materialized.  These kernels never
+materialize them: each time-block's planes are formed *inside* the kernel by
+one MXU matmul
+
+    plane (R, TB*B) = Wall (R, Du+1) @ xu (Du+1, TB*B)
+
+from the streamed raw feature block (19 MB/pass — the features are the only
+per-frame stream), where ``Wall`` stacks the gathered legal-transition
+weight columns [state | self | adv | cross] row-blocks and its last column
+is the bias (the matching ``xu`` row is constant 1), so bias formation and
+bias gradients ride the same matmul.
+
+Layout is transposed and plane-major: labels on sublanes (expanded state
+``st * P + p`` at row ``st*P8 + p``), batch on lanes, with the free and
+clamped lattices occupying lane halves ``[0, Bk)`` / ``[Bk, 2Bk)``.  This
+makes every topology operation a static row-slice:
+
+    advance:  rows [P8:) updated from rows [0:-P8)      (no gathers)
+    cross:    alpha rows [(ns-1)P8:) against the (P8, P8, Bk) cross pages
+              with a page-axis logsumexp (VPU)
+    clamp / boundaries / phone masks: row-iota arithmetic
+
+The backward kernel fuses the beta recursion with the COMPLETE parameter
+gradient: per frame it assembles the xi statistics for every plane row
+(state gamma, self/adv/cross xi) into a dplane buffer and contracts
+``dWall += dplane @ xu^T`` per block on the MXU — no (T, ...) gradient
+tensor ever reaches HBM, and the bias gradient is dWall's last column.
+
+Wrapped as a custom-VJP core in :func:`fdt_nll_dual_pallas`; the
+Wall-building gathers stay in plain JAX so autodiff scatters dWall back
+into the canonical ``w_state / w_trans / biases`` parameters
+(models/feature_map.py).  Parity: tests/kernels/test_fdt_pallas.py holds
+this to ops/fdt.py's XLA path (itself held to the generic scan and oracle).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from asr_craft_tpu.ops.semiring import NEG_INF
+
+_LANE = 128
+_SUBLANE = 8
+_TB_FWD = 8
+_TB_BWD = 4
+_BMULT = 64          # batch padded so 2*Bk is lane-aligned
+
+_PREC = {"highest": jax.lax.Precision.HIGHEST,
+         "high": jax.lax.Precision.HIGH,
+         "default": jax.lax.Precision.DEFAULT}
+
+
+def _up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# shared in-kernel pieces
+# ---------------------------------------------------------------------------
+
+def _row_iota(LP, Bk, P8, ns):
+    r = jax.lax.broadcasted_iota(jnp.int32, (LP, Bk), 0)
+    return r % P8, r // P8          # (phone, state) of each plane-major row
+
+
+def _state2_cols(state_k, lab_k, t, len_ref, *, ns, P, P8, clamp_ns,
+                 boundaries):
+    """(LP, Bk) state columns -> (LP, 2Bk) effective dual-lattice state:
+    row masks for padded phones, end-of-utterance n-state penalty, and the
+    numerator clamp on the second lane half."""
+    LP, Bk = state_k.shape
+    p, st = _row_iota(LP, Bk, P8, ns)
+    mask = jnp.where(p < P, 0.0, NEG_INF)
+    if ns > 1 and boundaries:
+        at_end = len_ref[0:1, 0:Bk] == t + 1
+        mask = mask + jnp.where((st < ns - 1) & at_end, NEG_INF, 0.0)
+    l_sm = p * ns + st
+    ok = (l_sm // clamp_ns) == lab_k
+    clamp = jnp.where(ok, 0.0, NEG_INF)
+    base = state_k + mask
+    return jnp.concatenate([base, base + clamp], axis=1)
+
+
+def _dup(x):
+    """(rows, Bk) -> (rows, 2Bk): the plane is shared by both lattices."""
+    return jnp.concatenate([x, x], axis=1)
+
+
+def _logaddexp(a, b):
+    m = jnp.maximum(a, b)
+    m = jnp.maximum(m, NEG_INF)
+    return m + jnp.log(jnp.maximum(
+        jnp.exp(a - m) + jnp.exp(b - m), 1e-35))
+
+
+def _factored_alpha_update(alpha, self_k, adv_k, cross_k, *, ns, P8):
+    """One factored semiring step in the transposed layout.
+
+    ``alpha`` (LP, 2Bk); ``self_k``/``adv_k`` (LP, Bk); ``cross_k``
+    (P8*P8, Bk) pi-major.  Returns the pre-state candidates (LP, 2Bk).
+    """
+    LP = alpha.shape[0]
+    Bk = self_k.shape[1]
+    cross3 = _dup(cross_k).reshape(P8, P8, 2 * Bk)
+    alpha_last = alpha[LP - P8:]
+    v = alpha_last[:, None, :] + cross3              # (pi, pj, 2Bk)
+    m = jnp.maximum(jnp.max(v, axis=0), NEG_INF)     # (pj, 2Bk)
+    crossed = m + jnp.log(jnp.maximum(
+        jnp.sum(jnp.exp(v - m[None]), axis=0), 1e-35))
+    if ns == 1:
+        return crossed
+    cand = alpha + _dup(self_k)
+    adv = alpha[:LP - P8] + _dup(adv_k[:LP - P8])
+    neg = jnp.full((P8, 2 * Bk), NEG_INF, cand.dtype)
+    cand = _logaddexp(cand, jnp.concatenate([neg, adv], axis=0))
+    negl = jnp.full((LP - P8, 2 * Bk), NEG_INF, cand.dtype)
+    return _logaddexp(cand, jnp.concatenate([crossed, negl], axis=0))
+
+
+def _factored_beta_update(x, self_n, adv_n, cross_n, *, ns, P8):
+    """Beta step: ``x = beta[t+1] + state2[t+1]`` (LP, 2Bk); planes of frame
+    t+1.  Returns beta[t] (LP, 2Bk)."""
+    LP = x.shape[0]
+    Bk = self_n.shape[1]
+    cross3 = _dup(cross_n).reshape(P8, P8, 2 * Bk)
+    x_first = x[:P8]
+    v = cross3 + x_first[None, :, :]                 # (pi, pj, 2Bk)
+    m = jnp.maximum(jnp.max(v, axis=1), NEG_INF)     # (pi, 2Bk)
+    crossed = m + jnp.log(jnp.maximum(
+        jnp.sum(jnp.exp(v - m[:, None, :]), axis=1), 1e-35))
+    if ns == 1:
+        return crossed
+    cand = x + _dup(self_n)
+    adv = x[P8:] + _dup(adv_n[:LP - P8])
+    neg = jnp.full((P8, 2 * Bk), NEG_INF, cand.dtype)
+    cand = _logaddexp(cand, jnp.concatenate([adv, neg], axis=0))
+    negl = jnp.full((LP - P8, 2 * Bk), NEG_INF, cand.dtype)
+    return _logaddexp(cand, jnp.concatenate([negl, crossed], axis=0))
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(ns, P, P8, clamp_ns, boundaries, prec, TB,
+                len_ref, xu_ref, lab_ref, Wall_ref,
+                alphas_ref, logz_ref, carry, plane):
+    i = pl.program_id(0)
+    LP = ns * P8
+    Bk = lab_ref.shape[2]
+
+    plane[:] = jnp.dot(Wall_ref[:], xu_ref[0],
+                       preferred_element_type=jnp.float32, precision=prec)
+
+    for k in range(TB):
+        t = i * TB + k
+        sl = slice(k * Bk, (k + 1) * Bk)
+        state_k = plane[0:LP, sl]
+        lab_k = lab_ref[k, 0:1, :]
+        state2 = _state2_cols(state_k, lab_k, t, len_ref, ns=ns, P=P, P8=P8,
+                              clamp_ns=clamp_ns, boundaries=boundaries)
+
+        def _update():
+            alpha = carry[:]
+            cand = _factored_alpha_update(
+                alpha, plane[LP:2 * LP, sl], plane[2 * LP:3 * LP, sl],
+                plane[3 * LP:, sl], ns=ns, P8=P8)
+            new = cand + state2
+            valid = len_ref[0:1, :] > t
+            carry[:] = jnp.where(valid, new, alpha)
+
+        if k == 0:
+            @pl.when(i == 0)
+            def _():
+                init = state2
+                if ns > 1 and boundaries:
+                    _, st = _row_iota(LP, 2 * Bk, P8, ns)
+                    init = init + jnp.where(st > 0, NEG_INF, 0.0)
+                carry[:] = init
+
+            @pl.when(i > 0)
+            def _():
+                _update()
+        else:
+            _update()
+        alphas_ref[k] = carry[:]
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        a = carry[:]
+        m = jnp.maximum(jnp.max(a, axis=0, keepdims=True), NEG_INF)
+        lz = m + jnp.log(jnp.maximum(
+            jnp.sum(jnp.exp(a - m), axis=0, keepdims=True), 1e-35))
+        logz_ref[:] = jnp.broadcast_to(lz, logz_ref.shape)
+
+
+# ---------------------------------------------------------------------------
+# backward + full-gradient kernel
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(ns, P, P8, clamp_ns, boundaries, prec, TB,
+                len_ref, zw_ref, xu_ref, lab_ref, alphas_ref, Wall_ref,
+                dW_ref, carry, plane, dplane, saved_plane, saved_lab,
+                saved_xu):
+    i = pl.program_id(0)
+    nb = pl.num_programs(0)
+    base = (nb - 1 - i) * TB
+    LP = ns * P8
+    Bk = lab_ref.shape[2]
+    TBK = TB * Bk
+    z2 = zw_ref[0, 0:1, :]
+    w2 = zw_ref[1, 0:1, :]
+
+    @pl.when(i == 0)
+    def _():
+        carry[:] = jnp.zeros_like(carry)
+        dW_ref[:] = jnp.zeros_like(dW_ref)
+        # saved_* hold the previous grid step's frame-0 columns; at the
+        # first step there is none — zero them so no VMEM garbage (possibly
+        # NaN bits) can reach the masked xi paths or the dW matmul
+        saved_plane[:] = jnp.zeros_like(saved_plane)
+        saved_lab[:] = jnp.zeros_like(saved_lab)
+        saved_xu[:] = jnp.zeros_like(saved_xu)
+
+    # this block's planes (the previous grid step's frame-0 columns were
+    # saved before we overwrite)
+    plane[:] = jnp.dot(Wall_ref[:], xu_ref[0],
+                       preferred_element_type=jnp.float32, precision=prec)
+
+    # slots never written below stay zero: trans rows of slot 0, state rows
+    # of the extra slot TB
+    dplane[LP:, 0:Bk] = jnp.zeros((dplane.shape[0] - LP, Bk), jnp.float32)
+    dplane[0:LP, TBK:] = jnp.zeros((LP, Bk), jnp.float32)
+
+    for j in range(TB):
+        k = TB - 1 - j
+        t = base + k
+        sl = slice(k * Bk, (k + 1) * Bk)
+        if k == TB - 1:
+            nstate = saved_plane[0:LP, 0:Bk]
+            nself = saved_plane[LP:2 * LP, 0:Bk]
+            nadv = saved_plane[2 * LP:3 * LP, 0:Bk]
+            ncross = saved_plane[3 * LP:, 0:Bk]
+            nlab = saved_lab[0:1, 0:Bk]
+        else:
+            nsl = slice((k + 1) * Bk, (k + 2) * Bk)
+            nstate = plane[0:LP, nsl]
+            nself = plane[LP:2 * LP, nsl]
+            nadv = plane[2 * LP:3 * LP, nsl]
+            ncross = plane[3 * LP:, nsl]
+            nlab = lab_ref[k + 1, 0:1, :]
+        state2_n = _state2_cols(nstate, nlab, t + 1, len_ref, ns=ns, P=P,
+                                P8=P8, clamp_ns=clamp_ns,
+                                boundaries=boundaries)
+        beta_next = carry[:]
+        x = beta_next + state2_n                     # (LP, 2Bk)
+        valid_n = len_ref[0:1, :] > t + 1            # frame t+1 exists
+        alpha_t = alphas_ref[k]                      # (LP, 2Bk)
+
+        # ---- xi statistics for frame t+1's plane rows -------------------
+        # a dead lattice (no legal path, z = NEG_INF — e.g. a clamp made
+        # inconsistent by a mid-phone length cut) contributes zero gradient,
+        # matching the XLA path's clamped-log behaviour
+        live = z2 > NEG_INF * 0.5
+        wexp = lambda s: jnp.where(
+            valid_n & live, jnp.exp(jnp.minimum(s - z2, 40.0)) * w2, 0.0)
+        nslot = slice((k + 1) * Bk, (k + 2) * Bk)
+        d_self = wexp(alpha_t + _dup(nself) + x)
+        d_adv_lo = wexp(alpha_t[:LP - P8] + _dup(nadv[:LP - P8]) + x[P8:])
+        d_adv = jnp.concatenate(
+            [d_adv_lo, jnp.zeros((P8, 2 * Bk), jnp.float32)], axis=0)
+        cross3 = _dup(ncross).reshape(P8, P8, 2 * Bk)
+        alpha_last = alpha_t[LP - P8:]
+        v3 = alpha_last[:, None, :] + cross3 + x[:P8][None, :, :]
+        d_cross3 = jnp.where((valid_n & live)[None], jnp.exp(
+            jnp.minimum(v3 - z2[None], 40.0)) * w2[None], 0.0)
+        halves = lambda d: d[..., 0:Bk] + d[..., Bk:]
+        if ns > 1:
+            dplane[LP:2 * LP, nslot] = halves(d_self)
+            dplane[2 * LP:3 * LP, nslot] = halves(d_adv)
+        else:  # self/adv rows unused; keep their dplane slots zero
+            dplane[LP:3 * LP, nslot] = jnp.zeros((2 * LP, Bk), jnp.float32)
+        dplane[3 * LP:, nslot] = halves(d_cross3).reshape(P8 * P8, Bk)
+
+        # ---- beta recursion and state gradient for frame t --------------
+        new_beta = _factored_beta_update(x, nself, nadv, ncross, ns=ns,
+                                         P8=P8)
+        carry[:] = jnp.where(valid_n, new_beta, jnp.zeros_like(new_beta))
+        valid_t = len_ref[0:1, :] > t
+        gamma = jnp.where(valid_t & live, jnp.exp(
+            jnp.minimum(alpha_t + carry[:] - z2, 40.0)) * w2, 0.0)
+        dplane[0:LP, sl] = gamma[:, 0:Bk] + gamma[:, Bk:]
+
+    # ---- per-block weight-gradient contraction (MXU) --------------------
+    dW_ref[:] += jax.lax.dot_general(
+        dplane[:, 0:TBK], xu_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+    dW_ref[:] += jax.lax.dot_general(
+        dplane[:, TBK:], saved_xu[:, 0:Bk], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+
+    # save this block's frame-0 columns for the next (earlier) grid step
+    saved_plane[:] = plane[:, 0:Bk]
+    saved_lab[:] = lab_ref[0]
+    saved_xu[:, 0:Bk] = xu_ref[0][:, 0:Bk]
+
+
+# ---------------------------------------------------------------------------
+# wrappers
+# ---------------------------------------------------------------------------
+
+def _prep_xu(feats, u0, u1, Bk, TB):
+    """(B, T, D) -> (nb, Du8, TB*Bk) transposed feature blocks with the
+    constant-1 bias row at index (u1 - u0).  T pads to a multiple of 8 (the
+    lcm of the fwd/bwd time blocks, so the alphas residual lines up)."""
+    B, T, _ = feats.shape
+    Du = u1 - u0
+    Du8 = _up(Du + 1, _SUBLANE)
+    Tp = _up(T, max(TB, 8))
+    x = feats[:, :, u0:u1]
+    x = jnp.concatenate([x, jnp.ones((B, T, 1), feats.dtype)], axis=-1)
+    x = jnp.pad(x, ((0, Bk - B), (0, Tp - T), (0, Du8 - Du - 1)))
+    x = jnp.transpose(x, (1, 2, 0))                       # (Tp, Du8, Bk)
+    x = x.reshape(Tp // TB, TB, Du8, Bk).transpose(0, 2, 1, 3)
+    return x.reshape(Tp // TB, Du8, TB * Bk), Du8, Tp
+
+
+def _prep_lab(labels, Bk, Tp):
+    B, T = labels.shape
+    lab = jnp.pad(labels.astype(jnp.int32), ((0, Bk - B), (0, Tp - T)))
+    lab = jnp.transpose(lab, (1, 0))                      # (Tp, Bk)
+    return jnp.broadcast_to(lab[:, None, :], (Tp, _SUBLANE, Bk))
+
+
+def _prep_len(lengths, Bk):
+    B = lengths.shape[0]
+    l = jnp.pad(lengths.astype(jnp.int32), (0, Bk - B), constant_values=0)
+    l2 = jnp.concatenate([l, l])
+    return jnp.broadcast_to(l2[None, :], (_SUBLANE, 2 * Bk))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "u0", "u1", "ns", "P", "P8", "clamp_ns", "boundaries", "precision",
+    "interpret"))
+def fdt_forward_pallas(Wall, feats, labels, lengths, *, u0, u1, ns, P, P8,
+                       clamp_ns, boundaries, precision="highest",
+                       interpret=False):
+    """Dual-lattice forward over the factored frame-dependent lattice.
+
+    ``Wall``: (R, Du8) stacked [state | self | adv | cross] weight rows with
+    the bias column last (build_wall).  Returns (alphas (Tp, LP, 2Bk) — the
+    padded residual for the backward kernel — zf (B,), zc (B,)).
+    """
+    B, T, _ = feats.shape
+    Bk = _up(B, _BMULT)
+    TB = _TB_FWD
+    xu, Du8, Tp = _prep_xu(feats, u0, u1, Bk, TB)
+    lab = _prep_lab(labels, Bk, Tp)
+    len2 = _prep_len(lengths, Bk)
+    LP = ns * P8
+    R = Wall.shape[0]
+    nb = Tp // TB
+    prec = _PREC[precision]
+    TBK = TB * Bk
+
+    alphas, logz = pl.pallas_call(
+        functools.partial(_fwd_kernel, ns, P, P8, clamp_ns, boundaries,
+                          prec, TB),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((_SUBLANE, 2 * Bk), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Du8, TBK), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, _SUBLANE, Bk), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, Du8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TB, LP, 2 * Bk), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_SUBLANE, 2 * Bk), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tp, LP, 2 * Bk), jnp.float32),
+            jax.ShapeDtypeStruct((_SUBLANE, 2 * Bk), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((LP, 2 * Bk), jnp.float32),
+                        pltpu.VMEM((R, TBK), jnp.float32)],
+        interpret=interpret,
+    )(len2, xu, lab, Wall)
+    return alphas, logz[0, 0:B], logz[0, Bk:Bk + B]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "u0", "u1", "ns", "P", "P8", "clamp_ns", "boundaries", "precision",
+    "interpret"))
+def fdt_backward_grad_pallas(Wall, feats, labels, lengths, alphas, zf, zc,
+                             wf, wc, *, u0, u1, ns, P, P8, clamp_ns,
+                             boundaries, precision="highest",
+                             interpret=False):
+    """Fused beta + complete weight gradient.  Returns dWall (R, Du8)
+    (bias gradient in the last meaningful column)."""
+    B, T, _ = feats.shape
+    Bk = _up(B, _BMULT)
+    TB = _TB_BWD
+    xu, Du8, Tp = _prep_xu(feats, u0, u1, Bk, TB)
+    lab = _prep_lab(labels, Bk, Tp)
+    len2 = _prep_len(lengths, Bk)
+    LP = ns * P8
+    R = Wall.shape[0]
+    nb = Tp // TB
+    prec = _PREC[precision]
+    TBK = TB * Bk
+
+    pad_b = (0, Bk - B)
+    z2 = jnp.concatenate([jnp.pad(zf, pad_b), jnp.pad(zc, pad_b)])
+    w2 = jnp.concatenate([jnp.pad(wf, pad_b), jnp.pad(wc, pad_b)])
+    zw = jnp.broadcast_to(
+        jnp.stack([z2, w2])[:, None, :].astype(jnp.float32),
+        (2, _SUBLANE, 2 * Bk))
+
+    [dW] = pl.pallas_call(
+        functools.partial(_bwd_kernel, ns, P, P8, clamp_ns, boundaries,
+                          prec, TB),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((_SUBLANE, 2 * Bk), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, _SUBLANE, 2 * Bk), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Du8, TBK), lambda i: (nb - 1 - i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, _SUBLANE, Bk), lambda i: (nb - 1 - i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, LP, 2 * Bk), lambda i: (nb - 1 - i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, Du8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((R, Du8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((R, Du8), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((LP, 2 * Bk), jnp.float32),          # beta carry
+            pltpu.VMEM((R, TBK), jnp.float32),              # plane
+            pltpu.VMEM((R, (TB + 1) * Bk), jnp.float32),    # dplane
+            pltpu.VMEM((R, Bk), jnp.float32),               # saved plane
+            pltpu.VMEM((_SUBLANE, Bk), jnp.int32),          # saved labels
+            pltpu.VMEM((Du8, Bk), jnp.float32),             # saved xu
+        ],
+        interpret=interpret,
+    )(len2, zw, xu, lab, alphas, Wall)
+    return dW
+
+
+# ---------------------------------------------------------------------------
+# Wall packing and the custom-VJP objective
+# ---------------------------------------------------------------------------
+
+def _pm_perm(P, P8, ns):
+    """Plane-major row -> state-major column gather index + validity."""
+    r = np.arange(ns * P8)
+    p, st = r % P8, r // P8
+    valid = p < P
+    idx = np.where(valid, np.minimum(p, P - 1) * ns + st, 0)
+    return idx, valid.astype(np.float32)
+
+
+def build_wall(params, fmap_cfg, ns: int):
+    """Pack the canonical parameters into the kernel's (R, Du8) Wall.
+
+    Plain differentiable gathers/pads: autodiff of this function scatters a
+    dWall cotangent back into ``w_state / b_state / w_trans / b_trans``
+    exactly where the generic path's gradient lands (illegal transition
+    columns get zero).  Returns (Wall, u0, u1, static dims dict).
+    """
+    from asr_craft_tpu.ops.fdt import factored_trans_weights
+    Lp = fmap_cfg.num_expanded
+    P = Lp // ns
+    P8 = _up(P, _SUBLANE)
+    s0, s1 = fmap_cfg.state_range
+    t0, t1 = fmap_cfg.trans_range
+    u0, u1 = min(s0, t0), max(s1, t1)
+    Du = u1 - u0
+    Du8 = _up(Du + 1, _SUBLANE)
+    idx, valid = _pm_perm(P, P8, ns)
+
+    def pack(w, b, lo, hi):
+        """(D_range, L') weights + (L',) bias -> (ns*P8, Du8) rows."""
+        w = jnp.pad(w, ((lo - u0, u1 - hi), (0, 0)))      # (Du, L')
+        rows = jnp.transpose(w)[idx] * valid[:, None]      # (ns*P8, Du)
+        brow = (b[idx] * valid)[:, None]
+        rows = jnp.concatenate([rows, brow], axis=1)
+        return jnp.pad(rows, ((0, 0), (0, Du8 - Du - 1)))
+
+    zb = jnp.zeros((Lp,), jnp.float32)
+    w_state = params["w_state"]
+    b_state = params.get("b_state", zb) if fmap_cfg.use_state_bias else zb
+    w_self, b_self, w_adv, b_adv, w_cross, b_cross = \
+        factored_trans_weights(params, Lp, ns)
+
+    blocks = [pack(w_state, b_state, s0, s1),
+              pack(w_self, b_self, t0, t1),
+              pack(w_adv, b_adv, t0, t1)]
+    # cross rows, pi-major (pi * P8 + pj)
+    wc = jnp.pad(w_cross, ((t0 - u0, u1 - t1), (0, P8 - P), (0, P8 - P)))
+    wc = jnp.transpose(wc.reshape(wc.shape[0], P8 * P8))   # (P8^2, Du)
+    bc = jnp.pad(b_cross, ((0, P8 - P), (0, P8 - P))).reshape(P8 * P8, 1)
+    cross_rows = jnp.concatenate([wc, bc], axis=1)
+    blocks.append(jnp.pad(cross_rows, ((0, 0), (0, Du8 - Du - 1))))
+    Wall = jnp.concatenate(blocks, axis=0)
+    return Wall, u0, u1, dict(P=P, P8=P8, ns=ns)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10,
+                                                    11))
+def _fdt_core(Wall, feats, labels, lengths, u01, ns, P, P8, clamp_ns,
+              boundaries, precision, interpret):
+    _, zf, zc = fdt_forward_pallas(
+        Wall, feats, labels, lengths, u0=u01[0], u1=u01[1], ns=ns, P=P,
+        P8=P8, clamp_ns=clamp_ns, boundaries=boundaries,
+        precision=precision, interpret=interpret)
+    return zf, zc
+
+
+def _fdt_core_fwd(Wall, feats, labels, lengths, u01, ns, P, P8, clamp_ns,
+                  boundaries, precision, interpret):
+    alphas, zf, zc = fdt_forward_pallas(
+        Wall, feats, labels, lengths, u0=u01[0], u1=u01[1], ns=ns, P=P,
+        P8=P8, clamp_ns=clamp_ns, boundaries=boundaries,
+        precision=precision, interpret=interpret)
+    return (zf, zc), (Wall, feats, labels, lengths, alphas, zf, zc)
+
+
+def _fdt_core_bwd(u01, ns, P, P8, clamp_ns, boundaries, precision,
+                  interpret, res, gs):
+    Wall, feats, labels, lengths, alphas, zf, zc = res
+    gzf, gzc = gs
+    dW = fdt_backward_grad_pallas(
+        Wall, feats, labels, lengths, alphas, zf, zc, gzf, gzc,
+        u0=u01[0], u1=u01[1], ns=ns, P=P, P8=P8, clamp_ns=clamp_ns,
+        boundaries=boundaries, precision=precision, interpret=interpret)
+    return dW, jnp.zeros_like(feats), None, None
+
+
+_fdt_core.defvjp(_fdt_core_fwd, _fdt_core_bwd)
+
+
+def fdt_nll_dual_pallas(fmap_cfg, ns: int, params, feats, labels, lengths,
+                        clamp_ns: int, boundaries: bool,
+                        interpret: bool = False):
+    """mxu.nll_dual-shaped objective on the fused kernels: per-sequence
+    (nll, logZ, numerator) with the classical gradient flowing back into
+    the canonical parameters through build_wall's gathers."""
+    Wall, u0, u1, dims = build_wall(params, fmap_cfg, ns)
+    zf, zc = _fdt_core(Wall, feats, labels, lengths, (u0, u1), ns,
+                       dims["P"], dims["P8"], clamp_ns, boundaries,
+                       fmap_cfg.precision, interpret)
+    return zf - zc, zf, zc

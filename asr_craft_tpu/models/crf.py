@@ -28,7 +28,7 @@ from asr_craft_tpu.models.feature_map import (FeatureMapConfig,
                                               dense_potentials,
                                               sparse_potentials)
 from asr_craft_tpu.models.topology import Topology
-from asr_craft_tpu.ops import fwdbwd, mxu
+from asr_craft_tpu.ops import fdt, fwdbwd, mxu
 from asr_craft_tpu.ops.viterbi import viterbi_batch
 
 
@@ -127,6 +127,19 @@ def crf_loss(cfg: CrfConfig, params, feats, labels, lengths, sparse=None,
     Returns (loss, aux dict) where aux carries per-utterance logZ and
     numerator scores (the reference logs logZx per utterance).
     """
+    if cfg.fmap.frame_dependent_trans and cfg.featuremap == "dense":
+        # topology-factored fast path (ops.fdt): never materializes the
+        # (B, T, L', L') transition tensor; Pallas fused kernel on TPU,
+        # factored lax.scan elsewhere.  Boundaries/clamp handled inside.
+        clamp_ns = 1 if label_kind == "state" else cfg.num_states
+        raw_nll, logZ, num = fdt.fdt_nll_dual(
+            cfg.fmap, cfg.num_states, params, feats, labels, lengths,
+            clamp_ns, cfg.enforce_boundaries)
+        nll = jnp.where(lengths > 0, raw_nll, 0.0)
+        total_frames = jnp.maximum(jnp.sum(lengths), 1)
+        return jnp.sum(nll) / total_frames, {
+            "logZ": logZ, "numerator": num, "nll": nll,
+            "frames": total_frames}
     state, trans = potentials(cfg, params, feats, sparse)
     state = apply_boundaries(cfg, state, lengths)
     if trans.ndim == 2:
@@ -166,6 +179,16 @@ def decode(cfg: CrfConfig, params, feats, lengths, sparse=None,
     Returns (phone_frames (B, T), state_paths (B, T), scores (B,)).
     """
     from asr_craft_tpu import kernels
+    if cfg.fmap.frame_dependent_trans and cfg.featuremap == "dense":
+        # factored max-plus decode: no (B, T, L', L') materialization
+        state, selfp, advp, crossp = fdt.factored_planes(
+            params, feats, cfg.fmap.num_expanded, cfg.num_states,
+            cfg.fmap.state_range, cfg.fmap.trans_range,
+            cfg.fmap.use_state_bias, cfg.fmap.precision)
+        paths, scores = fdt.fdt_viterbi(
+            state, selfp, advp, crossp, lengths, cfg.num_states,
+            cfg.enforce_boundaries, beam_width, beam_threshold)
+        return cfg.topology.path_to_phones(paths), paths, scores
     state, trans = potentials(cfg, params, feats, sparse)
     state = apply_boundaries(cfg, state, lengths)
     if trans.ndim == 2 and kernels.backend() == "pallas":

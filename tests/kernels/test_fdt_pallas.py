@@ -1,0 +1,147 @@
+"""Fused frame-dependent-transition kernels (kernels/fdt_pallas.py) vs the
+factored XLA path (ops/fdt.py) — values and full parameter gradients,
+interpret mode (SURVEY §4.2 item 6)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from asr_craft_tpu.kernels.fdt_pallas import (build_wall,
+                                              fdt_nll_dual_pallas)
+from asr_craft_tpu.models.feature_map import FeatureMapConfig
+from asr_craft_tpu.ops import fdt
+
+TOL = dict(rtol=5e-4, atol=5e-5)
+
+
+def _problem(rng, B, T, P, ns, D=10, state_range=None, trans_range=None):
+    Lp = P * ns
+    cfg = FeatureMapConfig(
+        feat_dim=D, num_expanded=Lp,
+        state_range=state_range or (0, D),
+        trans_range=trans_range or (1, D))
+    shapes = cfg.param_shapes()
+    params = {k: jnp.asarray(rng.normal(size=v, scale=0.3), jnp.float32)
+              for k, v in shapes.items()}
+    feats = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+    labels = jnp.asarray(
+        np.repeat(rng.integers(0, P, size=(B, T // (ns + 1) + 1)),
+                  ns + 1, axis=1)[:, :T], jnp.int32)
+    lengths = rng.integers(max(ns, 1), T + 1, size=B).astype(np.int32)
+    lengths[0] = T
+    return cfg, params, feats, labels, jnp.asarray(lengths)
+
+
+@pytest.mark.parametrize("B,T,P,ns", [(2, 9, 4, 1), (3, 11, 5, 2),
+                                      (2, 13, 4, 3), (2, 8, 5, 3)])
+def test_values_match_xla(rng, B, T, P, ns):
+    cfg, params, feats, labels, lengths = _problem(rng, B, T, P, ns)
+    nll, zf, zc = fdt_nll_dual_pallas(cfg, ns, params, feats, labels,
+                                      lengths, ns, True, interpret=True)
+    state, selfp, advp, crossp = fdt.factored_planes(
+        params, feats, cfg.num_expanded, ns, cfg.state_range,
+        cfg.trans_range)
+    zf_ref, zc_ref = fdt.fdt_logZ_pair(state, selfp, advp, crossp, labels,
+                                       lengths, ns, ns, True)
+    np.testing.assert_allclose(np.asarray(zf), np.asarray(zf_ref), **TOL)
+    np.testing.assert_allclose(np.asarray(zc), np.asarray(zc_ref), **TOL)
+
+
+@pytest.mark.parametrize("ns,clamp_ns", [(1, 1), (3, 3), (3, 1)])
+def test_grads_match_xla(rng, ns, clamp_ns):
+    B, T, P = 2, 9, 4
+    cfg, params, feats, labels, lengths = _problem(rng, B, T, P, ns)
+    boundaries = True
+    if clamp_ns == 1:
+        # state-granular targets must be a topology-legal path (else the
+        # clamped lattice is empty and zc = -inf): within each phone run of
+        # ns+1 frames walk states [0, 0, 1, .., ns-1]; skip the end-state
+        # boundary since lengths may cut mid-run.
+        steps = np.asarray([0] + list(range(ns)), np.int32)
+        labels = jnp.asarray(
+            np.asarray(labels) * ns + np.tile(steps, T // (ns + 1) + 1)
+            [None, :T], jnp.int32)
+        boundaries = False
+
+    def loss_pl(p):
+        nll, zf, zc = fdt_nll_dual_pallas(cfg, ns, p, feats, labels,
+                                          lengths, clamp_ns, boundaries,
+                                          interpret=True)
+        return jnp.sum(nll * 2.0 + 0.25 * zf - 0.5 * zc)
+
+    def loss_xla(p):
+        state, selfp, advp, crossp = fdt.factored_planes(
+            p, feats, cfg.num_expanded, ns, cfg.state_range,
+            cfg.trans_range)
+        zf, zc = fdt.fdt_logZ_pair(state, selfp, advp, crossp, labels,
+                                   lengths, ns, clamp_ns, boundaries)
+        return jnp.sum((zf - zc) * 2.0 + 0.25 * zf - 0.5 * zc)
+
+    v1, g1 = jax.value_and_grad(loss_pl)(params)
+    v2, g2 = jax.value_and_grad(loss_xla)(params)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-4, atol=1e-4)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g2[k]),
+                                   rtol=3e-3, atol=3e-5, err_msg=k)
+
+
+def test_disjoint_ranges_and_no_biases(rng):
+    """state/trans dim ranges disagree; biases disabled."""
+    B, T, P, ns, D = 2, 10, 4, 2, 12
+    Lp = P * ns
+    cfg = FeatureMapConfig(feat_dim=D, num_expanded=Lp, state_range=(0, 7),
+                           trans_range=(5, 12), use_state_bias=False,
+                           use_trans_bias=False)
+    params = {k: jnp.asarray(rng.normal(size=v, scale=0.3), jnp.float32)
+              for k, v in cfg.param_shapes().items()}
+    feats = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, P, size=(B, T)), jnp.int32)
+    lengths = jnp.asarray([T, T - 3], jnp.int32)
+
+    def loss_pl(p):
+        nll, _, _ = fdt_nll_dual_pallas(cfg, ns, p, feats, labels, lengths,
+                                        ns, True, interpret=True)
+        return jnp.sum(nll)
+
+    def loss_xla(p):
+        nll, _, _ = fdt.fdt_nll_dual(cfg, ns, p, feats, labels, lengths,
+                                     ns, True)
+        return jnp.sum(nll)
+
+    v1, g1 = jax.value_and_grad(loss_pl)(params)
+    v2, g2 = jax.value_and_grad(loss_xla)(params)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-4, atol=1e-4)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g2[k]),
+                                   rtol=3e-3, atol=3e-5, err_msg=k)
+
+
+def test_long_T_crosses_blocks(rng):
+    """T spanning several fwd (8) and bwd (4) time blocks, odd length."""
+    B, T, P, ns = 2, 27, 3, 3
+    cfg, params, feats, labels, lengths = _problem(rng, B, T, P, ns)
+
+    def loss_pl(p):
+        nll, _, _ = fdt_nll_dual_pallas(cfg, ns, p, feats, labels, lengths,
+                                        ns, True, interpret=True)
+        return jnp.sum(nll)
+
+    def loss_xla(p):
+        nll, _, _ = fdt.fdt_nll_dual(cfg, ns, p, feats, labels, lengths,
+                                     ns, True)
+        return jnp.sum(nll)
+
+    v1, g1 = jax.value_and_grad(loss_pl)(params)
+    v2, g2 = jax.value_and_grad(loss_xla)(params)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-4, atol=1e-4)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g2[k]),
+                                   rtol=3e-3, atol=3e-5, err_msg=k)
+
+
+def test_build_wall_shapes(rng):
+    cfg, params, *_ = _problem(rng, 1, 4, 5, 3)
+    Wall, u0, u1, dims = build_wall(params, cfg, 3)
+    P8 = dims["P8"]
+    assert P8 % 8 == 0 and Wall.shape[0] == 3 * 3 * P8 + P8 * P8
+    assert Wall.shape[1] % 8 == 0
