@@ -51,7 +51,8 @@ import jax.numpy as jnp
 from asr_craft_tpu.ops.semiring import NEG_INF
 
 __all__ = ["seg_log_partition_stream", "seg_forward_stream",
-           "seg_backward_stream"]
+           "seg_backward_stream", "seg_log_partition_stream_ns",
+           "nstate_cuts", "nstate_pool_matrices"]
 
 
 def _safe_log(x):
@@ -232,6 +233,255 @@ def _assemble_frame_grad(A, S_emit, acc_fin):
     rs = jnp.flip(jnp.cumsum(jnp.flip(S, 0), axis=0), 0)
     rs_next = jnp.concatenate([rs[1:], jnp.zeros((1, B, L), rs.dtype)])
     return ra - rs_next
+
+
+# ---------------------------------------------------------------------------
+# n-state segmental streams (CRF_StdSegNStateNode analogue at production
+# shapes — VERDICT r2 missing #4 / next #6).  A duration-(d+1) segment is
+# split into ``ns`` proportional sub-state spans (models.segmental docs);
+# each span is a cumulative-sum difference of its own frame-score stream.
+# With the window W[j] = CS[t+1-j] (j = 0..Dmax) that the rolling buffers
+# already hold, every span endpoint is a STATIC window offset per (d, s),
+# so pooling becomes one small static einsum with a +/- "pooling matrix"
+# E[s, d, j] — the ns == 1 path is the special case E[0, d, :] =
+# invd[d] * (onehot(0) - onehot(d+1)).
+# ---------------------------------------------------------------------------
+
+def nstate_cuts(max_dur: int, num_states: int):
+    """(Dmax, ns+1) proportional span boundaries of a duration-(d+1)
+    segment (canonical left-to-right alignment; static)."""
+    import numpy as np
+    d = np.arange(max_dur) + 1
+    s = np.arange(num_states + 1)
+    return np.floor(s[None, :] * d[:, None] / num_states + 0.5).astype(
+        np.int32)
+
+
+def nstate_pool_matrices(max_dur: int, ns: int, mean_pool: bool):
+    """Static pooling matrices (E_fwd, E_bwd): (ns, Dmax, Dmax+1) each.
+
+    Forward window W[j] = CS[t+1-j] (segments ENDING at t):
+        seg[d] = sum_s einsum(E_fwd[s, d, :], W_s) ;
+        span s of segment [t-d, t] is W[d+1-cut[d,s+1]] - W[d+1-cut[d,s]].
+    Backward window V[j] = CS[t+1+j] (segments STARTING at t+1):
+        span s is V[cut[d,s+1]] - V[cut[d,s]].
+    """
+    import numpy as np
+    cuts = nstate_cuts(max_dur, ns)
+    Ef = np.zeros((ns, max_dur, max_dur + 1), np.float32)
+    Eb = np.zeros((ns, max_dur, max_dur + 1), np.float32)
+    for s in range(ns):
+        for d in range(max_dur):
+            lo, hi = int(cuts[d, s]), int(cuts[d, s + 1])
+            if hi <= lo:
+                continue                      # empty span (short segment)
+            w = 1.0 / (hi - lo) if mean_pool else 1.0
+            Ef[s, d, d + 1 - hi] += w
+            Ef[s, d, d + 1 - lo] -= w
+            Eb[s, d, hi] += w
+            Eb[s, d, lo] -= w
+    return Ef, Eb
+
+
+def _seg_window_ns(cum_now, cs_buf, bias, E):
+    """Window einsum: (Dmax, B, ns, L) buffers -> (Dmax, B, L) potentials.
+
+    ``cum_now`` (B, ns, L) is W[0]; ``cs_buf[i]`` (Dmax, B, ns, L) is
+    W[i+1]; ``E`` (ns, Dmax, Dmax+1)."""
+    W = jnp.concatenate([cum_now[None], cs_buf], axis=0)   # (Dmax+1,B,ns,L)
+    return jnp.einsum("sdj,jbsl->dbl", E, W,
+                      preferred_element_type=jnp.float32) + bias[:, None, :]
+
+
+def seg_forward_stream_ns(cums, bias, trans, lengths, E):
+    """Alpha pass with n-state sub-segment pooling.  ``cums``: (T, B, ns, L)
+    inclusive cumsums per sub-state stream.  Returns (alphas, logZ)."""
+    T, B, ns, L = cums.shape
+    Dmax = bias.shape[0]
+    tmax = jnp.maximum(jnp.max(trans, axis=0), NEG_INF)
+    P = jnp.exp(trans - tmax[None, :])
+    ds = jnp.arange(Dmax)[:, None, None]
+
+    def step(carry, inp):
+        alpha_buf, cs_buf = carry
+        t, cum_now = inp
+        m = _row_max(alpha_buf)
+        prod = jnp.dot(jnp.exp(alpha_buf - m).reshape(Dmax * B, L), P,
+                       preferred_element_type=jnp.float32).reshape(Dmax, B, L)
+        msg = m + tmax[None, None, :] + _safe_log(prod)
+        msg = jnp.where(ds == t, 0.0, msg)
+        msg = jnp.where(ds > t, NEG_INF, msg)
+        cand = msg + _seg_window_ns(cum_now, cs_buf, bias, E)
+        cm = jnp.maximum(jnp.max(cand, axis=0), NEG_INF)
+        alpha_t = cm + _safe_log(jnp.sum(jnp.exp(cand - cm[None]), axis=0))
+        alpha_t = jnp.where((t < lengths)[:, None], alpha_t, NEG_INF)
+        return (jnp.concatenate([alpha_t[None], alpha_buf[:-1]]),
+                jnp.concatenate([cum_now[None], cs_buf[:-1]])), alpha_t
+
+    init = (jnp.full((Dmax, B, L), NEG_INF, cums.dtype),
+            jnp.zeros((Dmax, B, ns, L), cums.dtype))
+    _, alphas = jax.lax.scan(step, init, (jnp.arange(T), cums))
+    last = jnp.take_along_axis(
+        alphas, jnp.clip(lengths - 1, 0)[None, :, None]
+        .astype(jnp.int32).repeat(L, axis=2), axis=0)[0]
+    m = _row_max(last)
+    logZ = (m + _safe_log(jnp.sum(jnp.exp(last - m), axis=-1,
+                                  keepdims=True)))[:, 0]
+    return alphas, logZ
+
+
+def seg_backward_stream_ns(cums, bias, trans, lengths, Eb):
+    """Beta pass with n-state pooling (V-window orientation)."""
+    T, B, ns, L = cums.shape
+    Dmax = bias.shape[0]
+    tmax_row = jnp.maximum(jnp.max(trans, axis=1), NEG_INF)
+    M = jnp.exp(trans - tmax_row[:, None]).T
+
+    def step(carry, inp):
+        beta_buf, cs_buf = carry          # cs_buf[i] = CS[t+2+i]
+        t, cs_next = inp                  # cs_next = CS[t+1]
+        seg_next = _seg_window_ns(cs_next, cs_buf, bias, Eb)
+        w = seg_next + beta_buf
+        mw = _row_max(w)
+        prod = jnp.dot(jnp.exp(w - mw).reshape(Dmax * B, L), M,
+                       preferred_element_type=jnp.float32).reshape(Dmax, B, L)
+        msg = mw + tmax_row[None, None, :] + _safe_log(prod)
+        cm = jnp.maximum(jnp.max(msg, axis=0), NEG_INF)
+        beta_t = cm + _safe_log(jnp.sum(jnp.exp(msg - cm[None]), axis=0))
+        beta_t = jnp.where((t == lengths - 1)[:, None],
+                           jnp.zeros_like(beta_t), beta_t)
+        beta_t = jnp.where((t >= lengths)[:, None], NEG_INF, beta_t)
+        return (jnp.concatenate([beta_t[None], beta_buf[:-1]]),
+                jnp.concatenate([cs_next[None], cs_buf[:-1]])), beta_t
+
+    init = (jnp.full((Dmax, B, L), NEG_INF, cums.dtype),
+            jnp.zeros((Dmax, B, ns, L), cums.dtype))
+    _, betas = jax.lax.scan(step, init, (jnp.arange(T), cums), reverse=True)
+    return betas
+
+
+def _grad_scan_ns(cums, bias, trans, lengths, E, alphas, betas, logZ, g):
+    """Ascending xi pass, n-state: per step scatter the xi mass onto the
+    rolling dCS window with the SAME static pooling matrix E (transposed
+    einsum), then emit completed positions.  Returns
+    (dcs_emit (T, B, ns, L) where row t holds dCS[t+1-Dmax] — valid from
+    t >= Dmax — acc_fin (Dmax+1, B, ns, L) leftovers for the tail
+    positions, gd (Dmax, L), gt (L, L))."""
+    T, B, ns, L = cums.shape
+    Dmax = bias.shape[0]
+    tmax = jnp.maximum(jnp.max(trans, axis=0), NEG_INF)
+    P = jnp.exp(trans - tmax[None, :])
+    ds = jnp.arange(Dmax)[:, None, None]
+    gB = g[None, :, None]
+
+    def step(carry, inp):
+        alpha_buf, cs_buf, acc, gt, gd = carry
+        t, cum_now, alpha_t, beta_t = inp
+        m = _row_max(alpha_buf)
+        prod = jnp.dot(jnp.exp(alpha_buf - m).reshape(Dmax * B, L), P,
+                       preferred_element_type=jnp.float32).reshape(Dmax, B, L)
+        pred = m + tmax[None, None, :] + _safe_log(prod)
+        pred = jnp.where(ds == t, 0.0, pred)
+        pred = jnp.where(ds > t, NEG_INF, pred)
+        seg = _seg_window_ns(cum_now, cs_buf, bias, E)
+        x_v = seg + (beta_t - logZ[:, None])[None]
+        valid = (t < lengths)[None, :, None]
+        xi_g = jnp.where(valid, jnp.exp(pred + x_v) * gB, 0.0)
+
+        # dCS[t+1-j] += sum_{s,d} E[s,d,j] * xi[d]  (per sub-state stream)
+        acc = acc + jnp.einsum("sdj,dbl->jbsl", E, xi_g,
+                               preferred_element_type=jnp.float32)
+        emit = acc[Dmax]                                  # dCS[t+1-Dmax]
+        acc = jnp.concatenate([jnp.zeros((1, B, ns, L), acc.dtype),
+                               acc[:-1]])
+        gd = gd + jnp.sum(xi_g, axis=1)
+
+        mV = _row_max(x_v)
+        w_sc = jnp.exp(m + mV) * gB
+        w_sc = jnp.where(valid & (ds < t), w_sc, 0.0)
+        U = jnp.exp(alpha_buf - m) * w_sc
+        V = jnp.exp(x_v - mV)
+        gt = gt + jnp.einsum("dbp,dbl->pl", U, V,
+                             preferred_element_type=jnp.float32)
+
+        return (jnp.concatenate([alpha_t[None], alpha_buf[:-1]]),
+                jnp.concatenate([cum_now[None], cs_buf[:-1]]),
+                acc, gt, gd), emit
+
+    init = (jnp.full((Dmax, B, L), NEG_INF, cums.dtype),
+            jnp.zeros((Dmax, B, ns, L), cums.dtype),
+            jnp.zeros((Dmax + 1, B, ns, L), jnp.float32),
+            jnp.zeros((L, L), jnp.float32),
+            jnp.zeros((Dmax, L), jnp.float32))
+    (_, _, acc_fin, gt, gd), dcs_emit = jax.lax.scan(
+        step, init, (jnp.arange(T), cums, alphas, betas))
+    return dcs_emit, acc_fin, gd, gt
+
+
+def _assemble_frame_grad_ns(dcs_emit, acc_fin):
+    """dCS pieces -> frame-score gradient (T, B, ns, L).
+
+    ``dcs_emit[t]`` = dCS[t+1-Dmax] (complete once t >= Dmax-1);
+    ``acc_fin[j]`` = dCS[T+1-j] leftovers (j = 1..Dmax, after the final
+    shift).  dframe[u] = sum_{k > u} dCS[k] (CS is an inclusive cumsum)."""
+    import numpy as np
+    T, B, ns, L = dcs_emit.shape
+    Dmax = acc_fin.shape[0] - 1
+    dcs = jnp.zeros((T + 1, B, ns, L), jnp.float32)   # dCS[k], k = 0..T
+    if T >= Dmax:
+        # emits at t = Dmax-1 .. T-1 cover k = 0 .. T-Dmax
+        dcs = dcs.at[0:T - Dmax + 1].set(dcs_emit[Dmax - 1:])
+    js = np.arange(1, Dmax + 1)
+    ks = T + 1 - js
+    keep = (ks >= 0) & (ks <= T)
+    if keep.any():
+        dcs = dcs.at[ks[keep]].set(acc_fin[js[keep]])
+    # dframe[u] = sum_{k >= u+1} dCS[k]
+    ra = jnp.flip(jnp.cumsum(jnp.flip(dcs[1:], 0), axis=0), 0)
+    return ra
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _log_partition_stream_ns(frame_tm, bias, trans, lengths, max_dur, ns,
+                             mean_pool):
+    cums = jnp.cumsum(frame_tm, axis=0)
+    Ef, _ = nstate_pool_matrices(max_dur, ns, mean_pool)
+    _, logZ = seg_forward_stream_ns(cums, bias, trans, lengths,
+                                    jnp.asarray(Ef))
+    return logZ
+
+
+def _lps_ns_fwd(frame_tm, bias, trans, lengths, max_dur, ns, mean_pool):
+    cums = jnp.cumsum(frame_tm, axis=0)
+    Ef, _ = nstate_pool_matrices(max_dur, ns, mean_pool)
+    alphas, logZ = seg_forward_stream_ns(cums, bias, trans, lengths,
+                                         jnp.asarray(Ef))
+    return logZ, (cums, bias, trans, lengths, alphas, logZ)
+
+
+def _lps_ns_bwd(max_dur, ns, mean_pool, res, g):
+    cums, bias, trans, lengths, alphas, logZ = res
+    Ef, Eb = nstate_pool_matrices(max_dur, ns, mean_pool)
+    betas = seg_backward_stream_ns(cums, bias, trans, lengths,
+                                   jnp.asarray(Eb))
+    dcs_emit, acc_fin, gd, gt = _grad_scan_ns(
+        cums, bias, trans, lengths, jnp.asarray(Ef), alphas, betas, logZ, g)
+    g_frame = _assemble_frame_grad_ns(dcs_emit, acc_fin)
+    g_trans = jnp.sign(gt) * jnp.exp(trans + _safe_log(jnp.abs(gt)))
+    return g_frame, gd, g_trans, None
+
+
+_log_partition_stream_ns.defvjp(_lps_ns_fwd, _lps_ns_bwd)
+
+
+def seg_log_partition_stream_ns(frame_tm, bias, trans, lengths,
+                                max_dur: int, ns: int,
+                                mean_pool: bool = True):
+    """n-state SCRF logZ (B,) from per-sub-state frame scores — O(B T ns L)
+    memory, classical segmental fwd-bwd gradient.  ``frame_tm``:
+    (T, B, ns, L) time-major sub-state frame scores."""
+    return _log_partition_stream_ns(frame_tm, bias, trans, lengths,
+                                    int(max_dur), int(ns), bool(mean_pool))
 
 
 def _dispatch_forward(frame_tm, bias, trans, lengths, max_dur, mean_pool):

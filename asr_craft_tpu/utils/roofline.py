@@ -41,8 +41,9 @@ from __future__ import annotations
 import dataclasses
 import time
 
-__all__ = ["ChipSpec", "Phase", "V5E", "train_step_phases", "decode_phases",
-           "summarize", "measure_stream_bw"]
+__all__ = ["ChipSpec", "Phase", "V5E", "train_step_phases",
+           "fdt_train_phases", "decode_phases", "summarize",
+           "measure_stream_bw"]
 
 _LANE = 128
 _TBLOCK = 8
@@ -115,6 +116,48 @@ def train_step_phases(B: int, T: int, L: int, D: int,
         Phase("optimizer", 8 * n_lambda * _F32, 4.0 * n_lambda),
     ]
     return phases
+
+
+def fdt_train_phases(B: int, T: int, L: int, D: int, ns: int,
+                     n_lambda: int | None = None) -> list[Phase]:
+    """Traffic/FLOP model of the frame-dependent-transition train step
+    (kernels/fdt_pallas.py): plane formation rides the in-kernel MXU, so
+    the step is MXU-FLOP-bound, not bandwidth-bound.  Shapes follow the
+    code: P8 = ceil8(P), R = 3*ns*P8 + P8^2 rows, Du8 = ceil8(D+1) columns
+    (bias column), Bk = ceil64(B), fwd TB=8 / bwd TB=4 with one extra
+    contraction slot per bwd block.
+
+    Caveat (documented, not modeled): the per-frame cross-phone logsumexp
+    ((P8, P8, 2Bk) page reductions) is VPU work on the critical path and
+    adds a latency floor the FLOP count does not see.
+    """
+    P = L // ns
+    P8 = _up(P, _SUBLANE)
+    LP = ns * P8
+    R = 3 * LP + P8 * P8
+    Du8 = _up(D + 2, _SUBLANE)
+    Bk = _up(B, 64)
+    Tp = _up(T, _TBLOCK)
+    nb_bwd = Tp // 4
+    btd = B * T * D * _F32
+    xu = Tp * Du8 * Bk * _F32          # one kernel's transposed feat stream
+    lab = Tp * _SUBLANE * Bk * _F32
+    alphas = Tp * LP * 2 * Bk * _F32
+    wall = R * Du8 * _F32
+    n_lambda = n_lambda or (D * L + D * L * L + L + L * L)
+
+    form = 2.0 * R * Du8 * Bk * Tp               # plane formation matmuls
+    contract = 2.0 * R * Du8 * 5 * Bk * nb_bwd   # dW, (TB+1)=5 slots @ TB=4
+
+    return [
+        # XLA-side prep: two xu/label transposes, Wall gather + scatter-back
+        Phase("fdt_prep", 2 * btd + 2 * xu + 2 * lab
+              + 4 * n_lambda * _F32 + 2 * wall, 0.0),
+        Phase("fdt_forward", xu + lab + wall + alphas, form),
+        Phase("fdt_backward_grad", xu + lab + alphas + 2 * wall,
+              form + contract),
+        Phase("optimizer", 8 * n_lambda * _F32, 4.0 * n_lambda),
+    ]
 
 
 def decode_phases(B: int, T: int, L: int, D: int,

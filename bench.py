@@ -99,8 +99,11 @@ def bench_roofline(train_dt, decode_dt):
     L = cfg.num_labels * cfg.num_states
     D = cfg.feat_dim
     bw = rl.measure_stream_bw()
-    train = rl.summarize(rl.train_step_phases(B, T, L, D), train_dt,
-                         measured_bw_gbps=bw)
+    if cfg.fmap.frame_dependent_trans:
+        train_ph = rl.fdt_train_phases(B, T, L, D, cfg.num_states)
+    else:
+        train_ph = rl.train_step_phases(B, T, L, D)
+    train = rl.summarize(train_ph, train_dt, measured_bw_gbps=bw)
     dec = rl.summarize(
         rl.decode_phases(B, T, L, D, num_states=cfg.num_states), decode_dt,
         measured_bw_gbps=bw)

@@ -220,3 +220,56 @@ def test_nstate_scrf_trains(rng):
     frames, scores = scrf_frame_labels(cfg, params, feats, lengths)
     assert frames.shape == labels.shape
     assert np.isfinite(np.asarray(scores)).all()
+
+
+def test_nstate_scrf_loss_fused_matches_dense(rng):
+    """n-state streaming loss (seg_log_partition_stream_ns + windowed gold)
+    == the dense materialized path: value and grads (VERDICT r2 missing #4:
+    no dense fallback at num_states > 1 anymore)."""
+    from asr_craft_tpu.models.segmental import scrf_loss_fused
+    for ns in (2, 3):
+        cfg = SegCrfConfig(num_labels=4, feat_dim=5, max_dur=5,
+                           num_states=ns)
+        params = cfg.init_params(jax.random.PRNGKey(6), scale=0.3)
+        feats = jnp.asarray(rng.normal(size=(3, 11, 5)), jnp.float32)
+        labels = jnp.asarray(
+            np.repeat(rng.integers(0, 4, size=(3, 4)), 3, axis=1)[:, :11],
+            jnp.int32)
+        lengths = jnp.asarray([11, 8, 5], jnp.int32)
+
+        ld, _ = scrf_loss(cfg, params, feats, labels, lengths)
+        lf, _ = scrf_loss_fused(cfg, params, feats, labels, lengths)
+        np.testing.assert_allclose(float(lf), float(ld), rtol=1e-5,
+                                   err_msg=f"ns={ns}")
+
+        gd = jax.grad(
+            lambda p: scrf_loss(cfg, p, feats, labels, lengths)[0])(params)
+        gf = jax.grad(
+            lambda p: scrf_loss_fused(cfg, p, feats, labels, lengths)[0])(
+            params)
+        for k in gd:
+            np.testing.assert_allclose(np.asarray(gf[k]), np.asarray(gd[k]),
+                                       rtol=8e-4, atol=2e-5,
+                                       err_msg=f"ns={ns} {k}")
+
+
+def test_nstate_scrf_loss_fused_sum_pool(rng):
+    from asr_craft_tpu.models.segmental import scrf_loss_fused
+    cfg = SegCrfConfig(num_labels=3, feat_dim=4, max_dur=4, num_states=2,
+                       pooling="sum", use_dur_feature=False)
+    params = cfg.init_params(jax.random.PRNGKey(7), scale=0.3)
+    feats = jnp.asarray(rng.normal(size=(2, 9, 4)), jnp.float32)
+    labels = jnp.asarray(
+        np.repeat(rng.integers(0, 3, size=(2, 5)), 2, axis=1)[:, :9],
+        jnp.int32)
+    lengths = jnp.asarray([9, 6], jnp.int32)
+    ld, _ = scrf_loss(cfg, params, feats, labels, lengths)
+    lf, _ = scrf_loss_fused(cfg, params, feats, labels, lengths)
+    np.testing.assert_allclose(float(lf), float(ld), rtol=1e-5)
+    gd = jax.grad(lambda p: scrf_loss(cfg, p, feats, labels, lengths)[0])(
+        params)
+    gf = jax.grad(
+        lambda p: scrf_loss_fused(cfg, p, feats, labels, lengths)[0])(params)
+    for k in gd:
+        np.testing.assert_allclose(np.asarray(gf[k]), np.asarray(gd[k]),
+                                   rtol=8e-4, atol=2e-5, err_msg=k)
