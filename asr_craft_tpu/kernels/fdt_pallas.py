@@ -50,13 +50,42 @@ from asr_craft_tpu.ops.semiring import NEG_INF
 
 _LANE = 128
 _SUBLANE = 8
+# Frames per grid step, bounded by the 16 MB VMEM: the (R, TB*Bk) plane
+# buffer dominates (R ~ 2.7k rows at the flagship shape).
 _TB_FWD = 8
 _TB_BWD = 4
+# v5e has 128 MiB of VMEM; XLA's default scoped-vmem limit is only 16 MiB,
+# which the (R, TB*Bk) plane buffers plus unrolled-frame temporaries exceed.
+_VMEM_LIMIT = 100 * 1024 * 1024
 _BMULT = 64          # batch padded so 2*Bk is lane-aligned
 
 _PREC = {"highest": jax.lax.Precision.HIGHEST,
-         "high": jax.lax.Precision.HIGH,
+         "bf16x3": "bf16x3",
          "default": jax.lax.Precision.DEFAULT}
+
+
+def _mm(a, b, prec, dims=None):
+    """In-kernel matmul honoring the precision mode.
+
+    ``bf16x3``: manual split-float (a = hi + lo in bf16; 3 bf16 MXU passes
+    hi*hi + hi*lo + lo*hi, f32 accumulate) — XLA's F32_AS_BF16_3PASS
+    ("tensorfloat"-class, ~2^-16 relative error) at half the cost of the
+    6-pass HIGHEST emulation; Mosaic has no HIGH lowering in-kernel, so we
+    emulate it explicitly (VERDICT r2 next #7).
+    """
+    dims = dims or (((1,), (0,)), ((), ()))
+    if prec != "bf16x3":
+        return jax.lax.dot_general(a, b, dims,
+                                   preferred_element_type=jnp.float32,
+                                   precision=prec)
+    bf = jnp.bfloat16
+    a_hi = a.astype(bf)
+    b_hi = b.astype(bf)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(bf)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(bf)
+    d = functools.partial(jax.lax.dot_general, dimension_numbers=dims,
+                          preferred_element_type=jnp.float32)
+    return d(a_hi, b_hi) + (d(a_hi, b_lo) + d(a_lo, b_hi))
 
 
 def _up(x: int, m: int) -> int:
@@ -102,6 +131,33 @@ def _logaddexp(a, b):
         jnp.exp(a - m) + jnp.exp(b - m), 1e-35))
 
 
+def _lse3(a, b, c):
+    """Three-way elementwise logsumexp (one log instead of a chain)."""
+    m = jnp.maximum(jnp.maximum(a, b), c)
+    m = jnp.maximum(m, NEG_INF)
+    return m + jnp.log(jnp.maximum(
+        jnp.exp(a - m) + jnp.exp(b - m) + jnp.exp(c - m), 1e-35))
+
+
+_PI_CHUNK = 8   # cross pages per chunk: bounds live (chunk, P8, 2Bk) temps
+
+
+def _cross_lse_fwd(alpha_last, cross3):
+    """crossed[pj] = lse_pi(alpha_last[pi] + cross3[pi, pj]), chunked over
+    pi pages so the (P8, P8, 2Bk) intermediate never lives whole (the
+    full tensor blows the 16 MB VMEM stack when frames are unrolled)."""
+    P8 = cross3.shape[0]
+    acc = jnp.full(cross3.shape[1:], NEG_INF, jnp.float32)
+    for c in range(0, P8, _PI_CHUNK):
+        a_c = alpha_last[c:c + _PI_CHUNK]
+        v = a_c[:, None, :] + cross3[c:c + _PI_CHUNK]
+        m = jnp.maximum(jnp.max(v, axis=0), NEG_INF)
+        part = m + jnp.log(jnp.maximum(
+            jnp.sum(jnp.exp(v - m[None]), axis=0), 1e-35))
+        acc = _logaddexp(acc, part)
+    return acc
+
+
 def _factored_alpha_update(alpha, self_k, adv_k, cross_k, *, ns, P8):
     """One factored semiring step in the transposed layout.
 
@@ -112,39 +168,17 @@ def _factored_alpha_update(alpha, self_k, adv_k, cross_k, *, ns, P8):
     Bk = self_k.shape[1]
     cross3 = _dup(cross_k).reshape(P8, P8, 2 * Bk)
     alpha_last = alpha[LP - P8:]
-    v = alpha_last[:, None, :] + cross3              # (pi, pj, 2Bk)
-    m = jnp.maximum(jnp.max(v, axis=0), NEG_INF)     # (pj, 2Bk)
-    crossed = m + jnp.log(jnp.maximum(
-        jnp.sum(jnp.exp(v - m[None]), axis=0), 1e-35))
+    crossed = _cross_lse_fwd(alpha_last, cross3)
     if ns == 1:
         return crossed
-    cand = alpha + _dup(self_k)
-    adv = alpha[:LP - P8] + _dup(adv_k[:LP - P8])
-    neg = jnp.full((P8, 2 * Bk), NEG_INF, cand.dtype)
-    cand = _logaddexp(cand, jnp.concatenate([neg, adv], axis=0))
-    negl = jnp.full((LP - P8, 2 * Bk), NEG_INF, cand.dtype)
-    return _logaddexp(cand, jnp.concatenate([crossed, negl], axis=0))
-
-
-def _factored_beta_update(x, self_n, adv_n, cross_n, *, ns, P8):
-    """Beta step: ``x = beta[t+1] + state2[t+1]`` (LP, 2Bk); planes of frame
-    t+1.  Returns beta[t] (LP, 2Bk)."""
-    LP = x.shape[0]
-    Bk = self_n.shape[1]
-    cross3 = _dup(cross_n).reshape(P8, P8, 2 * Bk)
-    x_first = x[:P8]
-    v = cross3 + x_first[None, :, :]                 # (pi, pj, 2Bk)
-    m = jnp.maximum(jnp.max(v, axis=1), NEG_INF)     # (pi, 2Bk)
-    crossed = m + jnp.log(jnp.maximum(
-        jnp.sum(jnp.exp(v - m[:, None, :]), axis=1), 1e-35))
-    if ns == 1:
-        return crossed
-    cand = x + _dup(self_n)
-    adv = x[P8:] + _dup(adv_n[:LP - P8])
-    neg = jnp.full((P8, 2 * Bk), NEG_INF, cand.dtype)
-    cand = _logaddexp(cand, jnp.concatenate([adv, neg], axis=0))
-    negl = jnp.full((LP - P8, 2 * Bk), NEG_INF, cand.dtype)
-    return _logaddexp(cand, jnp.concatenate([negl, crossed], axis=0))
+    c_self = alpha + _dup(self_k)
+    c_adv = jnp.concatenate(
+        [jnp.full((P8, 2 * Bk), NEG_INF, c_self.dtype),
+         alpha[:LP - P8] + _dup(adv_k[:LP - P8])], axis=0)
+    c_cross = jnp.concatenate(
+        [crossed, jnp.full((LP - P8, 2 * Bk), NEG_INF, c_self.dtype)],
+        axis=0)
+    return _lse3(c_self, c_adv, c_cross)
 
 
 # ---------------------------------------------------------------------------
@@ -158,8 +192,7 @@ def _fwd_kernel(ns, P, P8, clamp_ns, boundaries, prec, TB,
     LP = ns * P8
     Bk = lab_ref.shape[2]
 
-    plane[:] = jnp.dot(Wall_ref[:], xu_ref[0],
-                       preferred_element_type=jnp.float32, precision=prec)
+    plane[:] = _mm(Wall_ref[:], xu_ref[0], prec)
 
     for k in range(TB):
         t = i * TB + k
@@ -233,8 +266,7 @@ def _bwd_kernel(ns, P, P8, clamp_ns, boundaries, prec, TB,
 
     # this block's planes (the previous grid step's frame-0 columns were
     # saved before we overwrite)
-    plane[:] = jnp.dot(Wall_ref[:], xu_ref[0],
-                       preferred_element_type=jnp.float32, precision=prec)
+    plane[:] = _mm(Wall_ref[:], xu_ref[0], prec)
 
     # slots never written below stay zero: trans rows of slot 0, state rows
     # of the extra slot TB
@@ -280,20 +312,47 @@ def _bwd_kernel(ns, P, P8, clamp_ns, boundaries, prec, TB,
             [d_adv_lo, jnp.zeros((P8, 2 * Bk), jnp.float32)], axis=0)
         cross3 = _dup(ncross).reshape(P8, P8, 2 * Bk)
         alpha_last = alpha_t[LP - P8:]
-        v3 = alpha_last[:, None, :] + cross3 + x[:P8][None, :, :]
-        d_cross3 = jnp.where((valid_n & live)[None], jnp.exp(
-            jnp.minimum(v3 - z2[None], 40.0)) * w2[None], 0.0)
         halves = lambda d: d[..., 0:Bk] + d[..., Bk:]
         if ns > 1:
             dplane[LP:2 * LP, nslot] = halves(d_self)
             dplane[2 * LP:3 * LP, nslot] = halves(d_adv)
         else:  # self/adv rows unused; keep their dplane slots zero
             dplane[LP:3 * LP, nslot] = jnp.zeros((2 * LP, Bk), jnp.float32)
-        dplane[3 * LP:, nslot] = halves(d_cross3).reshape(P8 * P8, Bk)
+        # ---- fused beta-cross lse + cross xi --------------------------
+        # Both need exp over the (pi, pj, 2Bk) cross plane; share one
+        # exponential pass: e1 = exp(c + x_first - m1), then
+        #   beta_cross[pi] = m1 + log(sum_pj e1)
+        #   xi_cross[pi,pj] = e1 * w * exp(alpha_last[pi] + m1 - z)
+        x_first = x[:P8]
+        m1 = jnp.full((1, 1, 2 * Bk), NEG_INF, jnp.float32)
+        for c in range(0, P8, _PI_CHUNK):
+            v = cross3[c:c + _PI_CHUNK] + x_first[None, :, :]
+            m1 = jnp.maximum(m1, jnp.max(v, axis=(0, 1), keepdims=True))
+        srows = []
+        for c in range(0, P8, _PI_CHUNK):
+            e1 = jnp.exp(cross3[c:c + _PI_CHUNK] + x_first[None, :, :]
+                         - m1)
+            srows.append(jnp.sum(e1, axis=1))             # (CH, 2Bk)
+            a_c = alpha_last[c:c + _PI_CHUNK]
+            s2 = jnp.where(valid_n & live, jnp.exp(
+                jnp.minimum(a_c + m1[0] - z2, 40.0)) * w2, 0.0)
+            dplane[3 * LP + c * P8:3 * LP + (c + _PI_CHUNK) * P8, nslot] = \
+                halves(e1 * s2[:, None, :]).reshape(_PI_CHUNK * P8, Bk)
+        cross_b = m1[0] + jnp.log(jnp.maximum(
+            jnp.concatenate(srows, axis=0), 1e-35))       # (P8, 2Bk)
 
         # ---- beta recursion and state gradient for frame t --------------
-        new_beta = _factored_beta_update(x, nself, nadv, ncross, ns=ns,
-                                         P8=P8)
+        if ns == 1:
+            new_beta = cross_b
+        else:
+            c_self = x + _dup(nself)
+            c_adv = jnp.concatenate(
+                [x[P8:] + _dup(nadv[:LP - P8]),
+                 jnp.full((P8, 2 * Bk), NEG_INF, jnp.float32)], axis=0)
+            c_cross = jnp.concatenate(
+                [jnp.full((LP - P8, 2 * Bk), NEG_INF, jnp.float32),
+                 cross_b], axis=0)
+            new_beta = _lse3(c_self, c_adv, c_cross)
         carry[:] = jnp.where(valid_n, new_beta, jnp.zeros_like(new_beta))
         valid_t = len_ref[0:1, :] > t
         gamma = jnp.where(valid_t & live, jnp.exp(
@@ -301,12 +360,9 @@ def _bwd_kernel(ns, P, P8, clamp_ns, boundaries, prec, TB,
         dplane[0:LP, sl] = gamma[:, 0:Bk] + gamma[:, Bk:]
 
     # ---- per-block weight-gradient contraction (MXU) --------------------
-    dW_ref[:] += jax.lax.dot_general(
-        dplane[:, 0:TBK], xu_ref[0], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec)
-    dW_ref[:] += jax.lax.dot_general(
-        dplane[:, TBK:], saved_xu[:, 0:Bk], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec)
+    cdims = (((1,), (1,)), ((), ()))
+    dW_ref[:] += _mm(dplane[:, 0:TBK], xu_ref[0], prec, cdims)
+    dW_ref[:] += _mm(dplane[:, TBK:], saved_xu[:, 0:Bk], prec, cdims)
 
     # save this block's frame-0 columns for the next (earlier) grid step
     saved_plane[:] = plane[:, 0:Bk]
@@ -398,6 +454,8 @@ def fdt_forward_pallas(Wall, feats, labels, lengths, *, u0, u1, ns, P, P8,
         ],
         scratch_shapes=[pltpu.VMEM((LP, 2 * Bk), jnp.float32),
                         pltpu.VMEM((R, TBK), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(len2, xu, lab, Wall)
     return alphas, logz[0, 0:B], logz[0, Bk:Bk + B]
@@ -462,6 +520,8 @@ def fdt_backward_grad_pallas(Wall, feats, labels, lengths, alphas, zf, zc,
             pltpu.VMEM((_SUBLANE, Bk), jnp.int32),          # saved labels
             pltpu.VMEM((Du8, Bk), jnp.float32),             # saved xu
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(len2, zw, xu, lab, alphas, Wall)
     return dW

@@ -54,6 +54,9 @@ class CrfConfig:
     use_state_bias: bool = True
     use_trans_bias: bool = True
     featuremap: str = "dense"             # "dense" | "sparse" (crf_featuremap)
+    # matmul precision: "highest" (fp32, the parity bar) | "bf16x3"
+    # (3-pass split-float, ~2^-16 rel err, ~2x faster kernels) | "default"
+    precision: str = "highest"
     # n-state start/end state masking (paths enter a phone at its first state
     # and the utterance must end in a phone's last state) — the reference
     # n-state node's boundary masking.  No-op for num_states == 1.
@@ -73,6 +76,7 @@ class CrfConfig:
             use_state_bias=self.use_state_bias,
             use_trans_bias=self.use_trans_bias,
             kind=self.featuremap,
+            precision=self.precision,
         )
 
     def init_params(self, key=None, scale: float = 0.0):

@@ -115,7 +115,8 @@ def _slice_feats(feats, rng: Tuple[int, int]):
 def dense_potentials(cfg: FeatureMapConfig, params: dict, feats):
     """feats (..., T, D) -> (state (..., T, L'), trans (L',L') or (..., T, L', L'))."""
     L = cfg.num_expanded
-    prec = None if cfg.precision == "default" else cfg.precision
+    prec = {"default": None, "bf16x3": "high"}.get(cfg.precision,
+                                                   cfg.precision)
     x = _slice_feats(feats, cfg.state_range)
     state = jnp.einsum("...td,dl->...tl", x, params["w_state"],
                        precision=prec, preferred_element_type=jnp.float32)

@@ -99,7 +99,8 @@ def factored_planes(params: dict, feats, Lp: int, ns: int,
     semantics); the transition planes contract the gathered legal-pair
     weights with the ``trans_range`` feature slice.
     """
-    prec = None if precision == "default" else precision
+    # "bf16x3" is the kernel-side 3-pass mode; XLA has it natively as HIGH
+    prec = {"default": None, "bf16x3": "high"}.get(precision, precision)
     xs = feats[..., state_range[0]:state_range[1]]
     xt = feats[..., trans_range[0]:trans_range[1]]
     state = jnp.einsum("...td,dl->...tl", xs, params["w_state"],

@@ -74,9 +74,11 @@ class Phase:
     flops: float
 
     def sol_s(self, spec: ChipSpec = V5E, bw_gbps: float | None = None,
-              fp32: bool = True) -> float:
+              fp32: bool = True, mode: str | None = None) -> float:
         bw = (bw_gbps or spec.hbm_gbps) * 1e9
-        peak = (spec.fp32_tflops if fp32 else spec.bf16_tflops) * 1e12
+        mode = mode or ("fp32" if fp32 else "bf16")
+        peak = {"fp32": spec.fp32_tflops, "bf16": spec.bf16_tflops,
+                "bf16x3": spec.bf16_tflops / 3.0}[mode] * 1e12
         return max(self.bytes / bw, self.flops / peak)
 
 
@@ -183,11 +185,13 @@ def decode_phases(B: int, T: int, L: int, D: int,
 
 def summarize(phases: list[Phase], measured_s: float,
               spec: ChipSpec = V5E,
-              measured_bw_gbps: float | None = None) -> dict:
-    """Roll phases up into the bench.py roofline record."""
+              measured_bw_gbps: float | None = None,
+              mode: str = "fp32") -> dict:
+    """Roll phases up into the bench.py roofline record.  ``mode`` selects
+    the MXU peak the FLOPs are held to ("fp32" | "bf16x3" | "bf16")."""
     total_bytes = sum(p.bytes for p in phases)
     total_flops = sum(p.flops for p in phases)
-    sol = sum(p.sol_s(spec) for p in phases)
+    sol = sum(p.sol_s(spec, mode=mode) for p in phases)
     out = {
         "chip": spec.name,
         "hbm_gbps_peak": spec.hbm_gbps,
@@ -199,11 +203,12 @@ def summarize(phases: list[Phase], measured_s: float,
         "achieved_gbps": round(total_bytes / measured_s / 1e9, 1),
         "phases": {p.name: {"mb": round(p.bytes / 1e6, 1),
                             "gflop": round(p.flops / 1e9, 2),
-                            "sol_ms": round(p.sol_s(spec) * 1e3, 3)}
+                            "sol_ms": round(p.sol_s(spec, mode=mode) * 1e3,
+                                            3)}
                    for p in phases},
     }
     if measured_bw_gbps:
-        sol_ach = sum(p.sol_s(spec, bw_gbps=measured_bw_gbps)
+        sol_ach = sum(p.sol_s(spec, bw_gbps=measured_bw_gbps, mode=mode)
                       for p in phases)
         out["hbm_gbps_achievable"] = round(measured_bw_gbps, 1)
         out["pct_of_achievable_sol"] = round(100.0 * sol_ach / measured_s, 1)

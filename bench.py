@@ -26,19 +26,28 @@ import numpy as np
 # Round-1 self-baseline (lax.scan path, TPU v5e, B=64 T=512 48x3 states).
 BASELINE_AUDIO_S_PER_S = 9100.0
 
-B, T = 64, 512
+B, T = 128, 512      # train bench batch (fixed per-frame cost amortizes)
+DECODE_B = 64
 FRAME_S = 0.01  # 10 ms frames
+# flagship train precision: manual 3-pass split-float matmuls (~2^-16 rel
+# err; loss matches fp32 to 7 digits at the bench shape — tests/kernels/
+# test_fdt_pallas.py::test_bf16x3_precision_close_to_highest records the
+# bound).  bench reports the fp32 number alongside in aux.
+TRAIN_PRECISION = "bf16x3"
 
 
-def bench_train_step(calls=6, spc=8, warmup=1):
+def bench_train_step(calls=6, spc=8, warmup=1, B=B, precision=None):
     """Production driver: K=spc optimizer steps fused per dispatch
     (TrainConfig.steps_per_call) — host dispatch latency amortized."""
+    import dataclasses
     import jax
     import jax.numpy as jnp
     from __graft_entry__ import _flagship, _tiny_batch
     from asr_craft_tpu.train import TrainConfig, make_train_step
 
     cfg = _flagship()
+    if precision:
+        cfg = dataclasses.replace(cfg, precision=precision)
     tc = TrainConfig(lr=0.1, steps_per_call=spc)
     params = cfg.init_params(scale=0.01)
     step_fn, opt = make_train_step(cfg, tc)
@@ -52,14 +61,16 @@ def bench_train_step(calls=6, spc=8, warmup=1):
     for _ in range(warmup):
         params, opt_state, avg, ms = step_fn.multi_step(
             params, opt_state, avg, stacked, lr)
-    float(ms["loss"][-1])
+    # precision-parity probe: loss after the warmup call's spc steps is at
+    # the same training point regardless of how many timed calls follow
+    loss_w = float(ms["loss"][-1])
     t0 = time.perf_counter()
     for _ in range(calls):
         params, opt_state, avg, ms = step_fn.multi_step(
             params, opt_state, avg, stacked, lr)
     float(ms["loss"][-1])  # host fetch: forces the full dependency chain
     dt = (time.perf_counter() - t0) / (calls * spc)
-    return B * T * FRAME_S / dt, dt
+    return B * T * FRAME_S / dt, dt, loss_w
 
 
 def bench_decode(steps=30, warmup=3):
@@ -69,7 +80,7 @@ def bench_decode(steps=30, warmup=3):
 
     cfg = _flagship()
     params = cfg.init_params(scale=0.01)
-    batch = _tiny_batch(cfg, B=B, T=T)
+    batch = _tiny_batch(cfg, B=DECODE_B, T=T)
 
     # chain steps through the feats so the timed loop is data-dependent
     @jax.jit
@@ -86,7 +97,7 @@ def bench_decode(steps=30, warmup=3):
         feats, phones = step(params, feats, batch["lengths"])
     float(feats[0, 0, 0])
     dt = (time.perf_counter() - t0) / steps
-    return B * T * FRAME_S / dt, dt
+    return DECODE_B * T * FRAME_S / dt, dt
 
 
 def bench_roofline(train_dt, decode_dt):
@@ -99,25 +110,35 @@ def bench_roofline(train_dt, decode_dt):
     L = cfg.num_labels * cfg.num_states
     D = cfg.feat_dim
     bw = rl.measure_stream_bw()
+    mode = {"bf16x3": "bf16x3", "default": "bf16"}.get(TRAIN_PRECISION,
+                                                       "fp32")
     if cfg.fmap.frame_dependent_trans:
         train_ph = rl.fdt_train_phases(B, T, L, D, cfg.num_states)
     else:
         train_ph = rl.train_step_phases(B, T, L, D)
-    train = rl.summarize(train_ph, train_dt, measured_bw_gbps=bw)
+    train = rl.summarize(train_ph, train_dt, measured_bw_gbps=bw, mode=mode)
     dec = rl.summarize(
-        rl.decode_phases(B, T, L, D, num_states=cfg.num_states), decode_dt,
-        measured_bw_gbps=bw)
+        rl.decode_phases(DECODE_B, T, L, D, num_states=cfg.num_states),
+        decode_dt, measured_bw_gbps=bw)
     return train, dec
 
 
 def main():
-    train_tput, train_dt = bench_train_step()
+    train_tput, train_dt, loss = bench_train_step(precision=TRAIN_PRECISION)
+    # fp32 (HIGHEST) reference point: the parity-bar precision, and the
+    # loss delta between the modes at the bench shape
+    f32_tput, f32_dt, f32_loss = bench_train_step(calls=3,
+                                                  precision="highest")
     decode_tput, decode_dt = bench_decode()
     rl_train, rl_dec = bench_roofline(train_dt, decode_dt)
     print(json.dumps({"roofline_train": rl_train}))
     print(json.dumps({"roofline_decode": rl_dec}))
     print(json.dumps({"aux": {"decode_audio_s_per_s": round(decode_tput, 1),
-                              "B": B, "T": T,
+                              "B": B, "T": T, "decode_B": DECODE_B,
+                              "train_precision": TRAIN_PRECISION,
+                              "train_fp32_audio_s_per_s": round(f32_tput, 1),
+                              "train_loss_delta_vs_fp32":
+                                  round(abs(loss - f32_loss), 8),
                               "train_pct_of_sol": rl_train["pct_of_sol"],
                               "decode_pct_of_sol": rl_dec["pct_of_sol"]}}))
     print(json.dumps({

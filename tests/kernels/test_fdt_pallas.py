@@ -145,3 +145,37 @@ def test_build_wall_shapes(rng):
     P8 = dims["P8"]
     assert P8 % 8 == 0 and Wall.shape[0] == 3 * 3 * P8 + P8 * P8
     assert Wall.shape[1] % 8 == 0
+
+
+def test_bf16x3_precision_close_to_highest(rng):
+    """The manual 3-pass split-float matmul mode: logZ within ~1e-4 rel of
+    the fp32 (HIGHEST) kernels — the recorded parity delta for the bench's
+    faster precision mode (VERDICT r2 next #7)."""
+    B, T, P, ns = 2, 12, 4, 3
+    cfg, params, feats, labels, lengths = _problem(rng, B, T, P, ns)
+    cfg_b = FeatureMapConfig(feat_dim=cfg.feat_dim,
+                             num_expanded=cfg.num_expanded,
+                             state_range=cfg.state_range,
+                             trans_range=cfg.trans_range,
+                             precision="bf16x3")
+    nll_h, zf_h, zc_h = fdt_nll_dual_pallas(cfg, ns, params, feats, labels,
+                                            lengths, ns, True,
+                                            interpret=True)
+    nll_b, zf_b, zc_b = fdt_nll_dual_pallas(cfg_b, ns, params, feats,
+                                            labels, lengths, ns, True,
+                                            interpret=True)
+    np.testing.assert_allclose(np.asarray(zf_b), np.asarray(zf_h),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(nll_b), np.asarray(nll_h),
+                               rtol=2e-3, atol=2e-3)
+
+    def loss(p, c):
+        nll, _, _ = fdt_nll_dual_pallas(c, ns, p, feats, labels, lengths,
+                                        ns, True, interpret=True)
+        return jnp.sum(nll)
+
+    g_h = jax.grad(loss)(params, cfg)
+    g_b = jax.grad(loss)(params, cfg_b)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(g_b[k]), np.asarray(g_h[k]),
+                                   rtol=0.02, atol=2e-3, err_msg=k)
