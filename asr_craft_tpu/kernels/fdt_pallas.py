@@ -631,3 +631,227 @@ def fdt_nll_dual_pallas(fmap_cfg, ns: int, params, feats, labels, lengths,
                        dims["P"], dims["P8"], clamp_ns, boundaries,
                        fmap_cfg.precision, interpret)
     return zf - zc, zf, zc
+
+
+# ---------------------------------------------------------------------------
+# max-plus decode kernels (frame-dependent transitions)
+# ---------------------------------------------------------------------------
+
+def _first_argmax_rows(x):
+    """(rows, Bk) -> (value (1, Bk), first-occurrence argmax row (1, Bk))."""
+    m = jnp.max(x, axis=0, keepdims=True)
+    r = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    a = jnp.min(jnp.where(x == m, r, x.shape[0]), axis=0, keepdims=True)
+    return m, a
+
+
+def _vit_state_cols(state_k, t, len_ref, *, ns, P, P8, boundaries):
+    """Single-lattice effective state columns (LP, Bk)."""
+    LP, Bk = state_k.shape
+    p, st = _row_iota(LP, Bk, P8, ns)
+    mask = jnp.where(p < P, 0.0, NEG_INF)
+    if ns > 1 and boundaries:
+        at_end = len_ref[0:1, 0:Bk] == t + 1
+        mask = mask + jnp.where((st < ns - 1) & at_end, NEG_INF, 0.0)
+    return state_k + mask
+
+
+def _fdt_vit_fwd_kernel(ns, P, P8, boundaries, prec, TB, thr,
+                        len_ref, xu_ref, Wall_ref,
+                        bp_ref, last_ref, score_ref, carry, plane):
+    i = pl.program_id(0)
+    LP = ns * P8
+    Bk = len_ref.shape[1]
+    riota = jax.lax.broadcasted_iota(jnp.int32, (LP, Bk), 0)
+
+    plane[:] = _mm(Wall_ref[:], xu_ref[0], prec)
+
+    for k in range(TB):
+        t = i * TB + k
+        sl = slice(k * Bk, (k + 1) * Bk)
+        state_e = _vit_state_cols(plane[0:LP, sl], t, len_ref, ns=ns, P=P,
+                                  P8=P8, boundaries=boundaries)
+
+        def _update():
+            delta = carry[:]
+            cross_k = plane[3 * LP:, sl].reshape(P8, P8, Bk)
+            delta_last = delta[LP - P8:]
+            # chunked running (max, first-argmax) over pi pages
+            m_run = jnp.full((P8, Bk), NEG_INF, jnp.float32)
+            a_run = jnp.zeros((P8, Bk), jnp.int32)
+            for c in range(0, P8, _PI_CHUNK):
+                d_c = delta_last[c:c + _PI_CHUNK]
+                v = d_c[:, None, :] + cross_k[c:c + _PI_CHUNK]
+                cm = jnp.max(v, axis=0)
+                pg = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0) + c
+                ca = jnp.min(jnp.where(v == cm[None], pg, P8), axis=0)
+                better = cm > m_run
+                a_run = jnp.where(better, ca, a_run)
+                m_run = jnp.maximum(m_run, cm)
+            bp_cross_rows = (ns - 1) * P8 + a_run           # (P8, Bk)
+
+            if ns == 1:
+                best, bp = m_run, bp_cross_rows
+            else:
+                c_self = delta + plane[LP:2 * LP, sl]
+                adv = (delta[:LP - P8]
+                       + plane[2 * LP:3 * LP, sl][:LP - P8])
+                c_adv = jnp.concatenate(
+                    [jnp.full((P8, Bk), NEG_INF, jnp.float32), adv], axis=0)
+                c_cross = jnp.concatenate(
+                    [m_run, jnp.full((LP - P8, Bk), NEG_INF, jnp.float32)],
+                    axis=0)
+                bp_cross = jnp.concatenate(
+                    [bp_cross_rows, jnp.zeros((LP - P8, Bk), jnp.int32)],
+                    axis=0)
+                best = jnp.maximum(jnp.maximum(c_self, c_adv), c_cross)
+                # tie order self > adv > cross (ops.fdt.fdt_viterbi)
+                bp = jnp.where(c_self == best, riota,
+                               jnp.where(c_adv == best, riota - P8,
+                                         bp_cross))
+            new = best + state_e
+            if thr is not None:
+                mrow = jnp.max(new, axis=0, keepdims=True)
+                new = jnp.where(new >= mrow - thr, new, NEG_INF)
+            valid = len_ref[0:1, :] > t
+            carry[:] = jnp.where(valid, new, carry[:])
+            bp_ref[k] = jnp.where(valid, bp, riota)
+
+        if k == 0:
+            @pl.when(i == 0)
+            def _():
+                init = state_e
+                if ns > 1 and boundaries:
+                    _, st = _row_iota(LP, Bk, P8, ns)
+                    init = init + jnp.where(st > 0, NEG_INF, 0.0)
+                if thr is not None:
+                    mrow = jnp.max(init, axis=0, keepdims=True)
+                    init = jnp.where(init >= mrow - thr, init, NEG_INF)
+                carry[:] = init
+                bp_ref[0] = riota
+
+            @pl.when(i > 0)
+            def _():
+                _update()
+        else:
+            _update()
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        sc, last = _first_argmax_rows(carry[:])
+        score_ref[:] = jnp.broadcast_to(sc, score_ref.shape)
+        last_ref[:] = jnp.broadcast_to(last, last_ref.shape)
+
+
+def _fdt_vit_bwd_kernel(TB, len_ref, last_ref, bp_cur_ref, bp_nxt_ref,
+                        path_ref, cur):
+    i = pl.program_id(0)
+    nb = pl.num_programs(0)
+    base = (nb - 1 - i) * TB
+    LP, Bk = bp_cur_ref.shape[1:]
+    riota = jax.lax.broadcasted_iota(jnp.int32, (LP, Bk), 0)
+
+    @pl.when(i == 0)
+    def _():
+        cur[:] = last_ref[:]
+
+    for j in range(TB):
+        k = TB - 1 - j
+        t = base + k
+        bp_next = bp_nxt_ref[0] if k == TB - 1 else bp_cur_ref[k + 1]
+        at_or_past_end = len_ref[0:1, :] <= t + 1       # t >= len-1
+        hot = riota == cur[0:1, :]
+        gathered = jnp.max(jnp.where(hot, bp_next, 0), axis=0,
+                           keepdims=True)
+        new = jnp.where(at_or_past_end, last_ref[0:1, :], gathered)
+        cur[:] = jnp.broadcast_to(new, cur.shape)
+        path_ref[k] = cur[:]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "u0", "u1", "ns", "P", "P8", "boundaries", "beam_threshold",
+    "precision", "interpret"))
+def fdt_viterbi_pallas(Wall, feats, lengths, *, u0, u1, ns, P, P8,
+                       boundaries, beam_threshold=None,
+                       precision="highest", interpret=False):
+    """Factored max-plus decode with in-kernel plane formation.
+
+    Returns (paths (B, T) int32 STATE-MAJOR expanded labels, scores (B,)).
+    ``beam_threshold``: score-margin pruning (None = exact).  Top-k
+    (max-active) pruning is not kernelized — models.crf.decode falls back
+    to the XLA factored path when ``beam_width`` is set.
+    """
+    B, T, _ = feats.shape
+    Bk = _up(B, _BMULT)
+    TB = _TB_FWD
+    xu, Du8, Tp = _prep_xu(feats, u0, u1, Bk, TB)
+    LP = ns * P8
+    R = Wall.shape[0]
+    nb = Tp // TB
+    prec = _PREC[precision]
+    TBK = TB * Bk
+    len1 = jnp.pad(lengths.astype(jnp.int32), (0, Bk - B),
+                   constant_values=0)
+    len2 = jnp.broadcast_to(len1[None, :], (_SUBLANE, Bk))
+
+    bp, last, score = pl.pallas_call(
+        functools.partial(_fdt_vit_fwd_kernel, ns, P, P8, boundaries, prec,
+                          TB, beam_threshold),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((_SUBLANE, Bk), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Du8, TBK), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, Du8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TB, LP, Bk), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_SUBLANE, Bk), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_SUBLANE, Bk), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tp, LP, Bk), jnp.int32),
+            jax.ShapeDtypeStruct((_SUBLANE, Bk), jnp.int32),
+            jax.ShapeDtypeStruct((_SUBLANE, Bk), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((LP, Bk), jnp.float32),
+                        pltpu.VMEM((R, TBK), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(len2, xu, Wall)
+
+    [path_tm] = pl.pallas_call(
+        functools.partial(_fdt_vit_bwd_kernel, TB),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((_SUBLANE, Bk), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_SUBLANE, Bk), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, LP, Bk), lambda i: (nb - 1 - i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, LP, Bk),
+                         lambda i: (jnp.minimum(nb - i, nb - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TB, _SUBLANE, Bk), lambda i: (nb - 1 - i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((Tp, _SUBLANE, Bk), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((_SUBLANE, Bk), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(len2, last, bp, bp)
+
+    # plane-major row -> state-major expanded label
+    rows = path_tm[:T, 0, :B]                              # (T, B)
+    paths = (rows % P8) * ns + rows // P8
+    return jnp.transpose(paths), score[0, 0:B]

@@ -185,6 +185,22 @@ def decode(cfg: CrfConfig, params, feats, lengths, sparse=None,
     from asr_craft_tpu import kernels
     if cfg.fmap.frame_dependent_trans and cfg.featuremap == "dense":
         # factored max-plus decode: no (B, T, L', L') materialization
+        P = cfg.num_labels
+        if (kernels.backend() == "pallas" and beam_width is None
+                and P <= 64):
+            # fused kernel (in-kernel plane formation + bp traceback);
+            # top-k max-active pruning stays on the XLA path below
+            from asr_craft_tpu.kernels.fdt_pallas import (build_wall,
+                                                          fdt_viterbi_pallas)
+            Wall, u0, u1, dims = build_wall(params, cfg.fmap,
+                                            cfg.num_states)
+            paths, scores = fdt_viterbi_pallas(
+                Wall, feats, lengths, u0=u0, u1=u1, ns=cfg.num_states,
+                P=dims["P"], P8=dims["P8"],
+                boundaries=cfg.enforce_boundaries,
+                beam_threshold=beam_threshold,
+                precision=cfg.fmap.precision)
+            return cfg.topology.path_to_phones(paths), paths, scores
         state, selfp, advp, crossp = fdt.factored_planes(
             params, feats, cfg.fmap.num_expanded, cfg.num_states,
             cfg.fmap.state_range, cfg.fmap.trans_range,

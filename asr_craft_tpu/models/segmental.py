@@ -306,9 +306,28 @@ def scrf_loss_fused(cfg: SegCrfConfig, params, feats, labels, lengths):
     return jnp.sum(nll) / total, {"logZ": logZ, "gold": gold, "nll": nll}
 
 
-def scrf_decode(cfg: SegCrfConfig, params, feats, lengths):
+def scrf_decode(cfg: SegCrfConfig, params, feats, lengths,
+                beam_threshold: Optional[float] = None,
+                beam_width: Optional[int] = None):
     """Best segmentations.  Returns (starts, labels, n_segs, scores) with
-    fixed-size (B, T) segment arrays (see ops.segmental.segmental_viterbi)."""
+    fixed-size (B, T) segment arrays (see ops.segmental.segmental_viterbi).
+
+    Runs the streaming max-plus lattice (rolling cumulative-score windows,
+    O(B T ns L) memory — ops.segmental_stream.seg_viterbi_stream), so it
+    decodes at production shapes where the (B, T, Dmax, L) tensor is
+    unmaterializable; beam options mirror the frame-level decoder
+    (both None = exact, held to the dense path in tests)."""
+    from asr_craft_tpu.ops.segmental_stream import seg_viterbi_stream
+    frame, bias = _frame_scores_and_bias(cfg, params, feats)
+    return seg_viterbi_stream(
+        jnp.moveaxis(frame, 1, 0), bias, params["b_trans"], lengths,
+        cfg.max_dur, cfg.num_states, cfg.pooling == "mean",
+        beam_threshold, beam_width)
+
+
+def scrf_decode_dense(cfg: SegCrfConfig, params, feats, lengths):
+    """Materialized-(B, T, Dmax, L) decode — the small-shape oracle the
+    streaming path is held to."""
     seg, trans = seg_potentials(cfg, params, feats)
     return seg_ops.segmental_viterbi_batch(seg, trans, lengths)
 

