@@ -73,6 +73,37 @@ def bench_train_step(calls=6, spc=8, warmup=1, B=B, precision=None):
     return B * T * FRAME_S / dt, dt, loss_w
 
 
+def bench_train_epoch_loader(n_utts=512, precision=TRAIN_PRECISION):
+    """Steady-state training with the real bucketing UtteranceLoader
+    feeding the chip (VERDICT r2 weak #7: resident-batch numbers hide
+    host-side stalls).  Returns audio-s/s over the second epoch (first
+    epoch pays compiles)."""
+    import dataclasses
+    import jax
+    from __graft_entry__ import _flagship
+    from asr_craft_tpu import data
+    from asr_craft_tpu.train import TrainConfig, Trainer
+    from asr_craft_tpu.utils.logging import MetricsLogger
+
+    cfg = dataclasses.replace(_flagship(), precision=precision)
+    scfg = data.SyntheticConfig(num_labels=48, feat_dim=cfg.feat_dim,
+                                noise=0.3, min_len=300, max_len=512, seed=3)
+    feats, labels, _ = data.generate_corpus(scfg, n_utts)
+    loader = data.UtteranceLoader(
+        feats, labels, data.LoaderConfig(batch_size=B, buckets=(512,),
+                                         shuffle=True))
+    tr = Trainer(cfg, TrainConfig(lr=0.1, steps_per_call=8,
+                                  log_every=10_000),
+                 logger=MetricsLogger(quiet=True))
+    tr.train_epoch(loader)                       # compile epoch
+    t0 = time.perf_counter()
+    rec = tr.train_epoch(loader)
+    dt = time.perf_counter() - t0
+    audio_s = rec["frames"] * FRAME_S if "frames" in rec else \
+        sum(len(l) for l in labels) * FRAME_S
+    return audio_s / dt
+
+
 def bench_decode(steps=30, warmup=3):
     import jax
     from __graft_entry__ import _flagship, _tiny_batch
@@ -98,6 +129,53 @@ def bench_decode(steps=30, warmup=3):
     float(feats[0, 0, 0])
     dt = (time.perf_counter() - t0) / steps
     return DECODE_B * T * FRAME_S / dt, dt
+
+
+def bench_decode_floor(Ts=(64, 128, 256, 512), steps=20):
+    """Measured decode latency-floor model (VERDICT r2 next #4): a T-sweep
+    of the fused decode at the bench batch isolates the per-frame serial
+    cost b in t(T) = a + b*T (a absorbs dispatch/traceback constants).
+    The roofline's byte/FLOP SOL has no term for the 512-frame sequential
+    dependency chain; this measures it, so "latency-floor-bound" becomes a
+    checked quantitative claim: pct_of_model compares the full-T
+    measurement against the fit."""
+    import jax
+    from __graft_entry__ import _flagship, _tiny_batch
+    from asr_craft_tpu.models.crf import decode
+
+    cfg = _flagship()
+    params = cfg.init_params(scale=0.01)
+    times = {}
+    for T in Ts:
+        batch = _tiny_batch(cfg, B=DECODE_B, T=T)
+
+        @jax.jit
+        def step(p, feats, lengths):
+            phones, _, scores = decode(cfg, p, feats, lengths)
+            return feats + 0.0 * scores[:, None, None]
+
+        feats = batch["feats"]
+        feats = step(params, feats, batch["lengths"])
+        float(feats[0, 0, 0])
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            feats = step(params, feats, batch["lengths"])
+        float(feats[0, 0, 0])
+        times[T] = (time.perf_counter() - t0) / steps
+    ts = np.asarray(list(times.keys()), np.float64)
+    ys = np.asarray([times[t] for t in times], np.float64)
+    b, a = np.polyfit(ts, ys, 1)
+    fit = a + b * ts
+    ss_res = float(np.sum((ys - fit) ** 2))
+    ss_tot = float(np.sum((ys - ys.mean()) ** 2))
+    Tmax = max(Ts)
+    return {
+        "per_frame_us": round(b * 1e6, 3),
+        "intercept_ms": round(a * 1e3, 3),
+        "r2": round(1 - ss_res / max(ss_tot, 1e-30), 4),
+        "measured_ms": {int(t): round(times[t] * 1e3, 3) for t in times},
+        "pct_of_model": round(100 * (a + b * Tmax) / times[Tmax], 1),
+    }
 
 
 def bench_roofline(train_dt, decode_dt):
@@ -129,13 +207,18 @@ def main():
     # loss delta between the modes at the bench shape
     f32_tput, f32_dt, f32_loss = bench_train_step(calls=3,
                                                   precision="highest")
+    loader_tput = bench_train_epoch_loader()
     decode_tput, decode_dt = bench_decode()
+    floor = bench_decode_floor()
     rl_train, rl_dec = bench_roofline(train_dt, decode_dt)
+    print(json.dumps({"decode_floor": floor}))
     print(json.dumps({"roofline_train": rl_train}))
     print(json.dumps({"roofline_decode": rl_dec}))
     print(json.dumps({"aux": {"decode_audio_s_per_s": round(decode_tput, 1),
                               "B": B, "T": T, "decode_B": DECODE_B,
                               "train_precision": TRAIN_PRECISION,
+                              "loader_epoch_audio_s_per_s":
+                                  round(loader_tput, 1),
                               "train_fp32_audio_s_per_s": round(f32_tput, 1),
                               "train_loss_delta_vs_fp32":
                                   round(abs(loss - f32_loss), 8),
