@@ -236,8 +236,8 @@ class Trainer:
         device/sharding placement for batches (parallel.make_batch_put)."""
         from asr_craft_tpu.utils import diagnostics
         t_start = time.time()
-        frames = 0
-        losses = []
+        losses = []                      # device arrays; fetched at epoch end
+        frame_accs = []
         lr = jnp.float32(self.current_lr())
         accum = max(1, self.tc.accum_steps)
         spc = max(1, self.tc.steps_per_call)
@@ -261,11 +261,13 @@ class Trainer:
                                             self.avg_params, stacked, lr)
             k = len(pending)
             pending = []
-            nonlocal frames
+            # keep metrics as DEVICE arrays: a float() here would sync the
+            # host into every fused call and stall the input pipeline
+            # (fetched once at epoch end below)
+            losses.append(ms["loss"][:k])
+            frame_accs.append(ms["frames"][:k])
             for i in range(k):
                 self.step += 1
-                losses.append(float(ms["loss"][i]))
-                frames += int(ms["frames"][i])
                 if self.step % self.tc.log_every == 0:
                     self.logger.log(
                         "train_step", step=self.step, epoch=self.epoch,
@@ -304,8 +306,8 @@ class Trainer:
                                 self.avg_params, grad_acc, lr / accum)
                         grad_acc, n_acc = None, 0
             self.step += 1
-            losses.append(float(m["loss"]))
-            frames += int(m["frames"])
+            losses.append(jnp.reshape(m["loss"], (1,)))
+            frame_accs.append(jnp.reshape(m["frames"], (1,)))
             if (self.tc.check_sync_every
                     and self.step % self.tc.check_sync_every == 0):
                 diagnostics.assert_replicated(self.params)
@@ -321,9 +323,17 @@ class Trainer:
                 self.step_fn.apply_step(self.params, self.opt_state,
                                         self.avg_params, grad_acc,
                                         lr / n_acc)
+        # one host fetch for the whole epoch's metrics (see flush_pending)
+        if losses:
+            all_loss = np.asarray(jnp.concatenate(losses))
+            frames = int(np.sum(np.asarray(jnp.concatenate(frame_accs))))
+        else:
+            all_loss, frames = np.zeros((0,)), 0
         wall = time.time() - t_start
         audio_s = frames * self.tc.frame_shift_s
-        out = {"epoch": self.epoch, "mean_loss": float(np.mean(losses)),
+        out = {"epoch": self.epoch,
+               "mean_loss": float(np.mean(all_loss)) if len(all_loss)
+               else 0.0,
                "frames": frames, "wall_s": wall,
                "audio_s_per_s": audio_s / max(wall, 1e-9)}
         self.logger.log("train_epoch", **out)

@@ -42,7 +42,8 @@ import dataclasses
 import time
 
 __all__ = ["ChipSpec", "Phase", "V5E", "train_step_phases",
-           "fdt_train_phases", "decode_phases", "summarize",
+           "fdt_train_phases", "decode_phases", "fdt_decode_phases",
+           "summarize",
            "measure_stream_bw"]
 
 _LANE = 128
@@ -159,6 +160,34 @@ def fdt_train_phases(B: int, T: int, L: int, D: int, ns: int,
         Phase("fdt_backward_grad", xu + lab + alphas + 2 * wall,
               form + contract),
         Phase("optimizer", 8 * n_lambda * _F32, 4.0 * n_lambda),
+    ]
+
+
+def fdt_decode_phases(B: int, T: int, L: int, D: int,
+                      ns: int) -> list[Phase]:
+    """Traffic/FLOP model of the fused frame-dependent-transition decode
+    (kernels/fdt_pallas.py fdt_viterbi_pallas): in-kernel plane formation
+    (same Wall matmul as training), int32 backpointer emission, and the
+    one-hot gather traceback kernel.  The serial per-frame dependency
+    chain is NOT in this model — bench.py's measured decode_floor
+    (T-sweep) is the companion latency bound."""
+    P = L // ns
+    P8 = _up(P, _SUBLANE)
+    LP = ns * P8
+    R = 3 * LP + P8 * P8
+    Du8 = _up(D + 2, _SUBLANE)
+    Bk = _up(B, 64)
+    Tp = _up(T, _TBLOCK)
+    btd = B * T * D * _F32
+    xu = Tp * Du8 * Bk * _F32
+    wall = R * Du8 * _F32
+    bp = Tp * LP * _up(Bk, _LANE) * 4          # int32 backpointers
+    path = Tp * _SUBLANE * Bk * 4
+    form = 2.0 * R * Du8 * Bk * Tp
+    return [
+        Phase("fdt_prep", btd + xu + wall, 0.0),
+        Phase("fdt_viterbi_forward", xu + wall + bp, form),
+        Phase("fdt_traceback", bp + path, 0.0),
     ]
 
 

@@ -192,12 +192,13 @@ def bench_roofline(train_dt, decode_dt):
                                                        "fp32")
     if cfg.fmap.frame_dependent_trans:
         train_ph = rl.fdt_train_phases(B, T, L, D, cfg.num_states)
+        dec_ph = rl.fdt_decode_phases(DECODE_B, T, L, D, cfg.num_states)
     else:
         train_ph = rl.train_step_phases(B, T, L, D)
+        dec_ph = rl.decode_phases(DECODE_B, T, L, D,
+                                  num_states=cfg.num_states)
     train = rl.summarize(train_ph, train_dt, measured_bw_gbps=bw, mode=mode)
-    dec = rl.summarize(
-        rl.decode_phases(DECODE_B, T, L, D, num_states=cfg.num_states),
-        decode_dt, measured_bw_gbps=bw)
+    dec = rl.summarize(dec_ph, decode_dt, measured_bw_gbps=bw)
     return train, dec
 
 

@@ -137,11 +137,32 @@ float(loss)
 dt = (time.perf_counter() - t0) / N
 print(json.dumps({"kind": "scrf_prod", "ms_per_step": dt * 1e3,
                   "audio_s_per_s": B * T * 0.01 / dt}))
+
+# production-shape streaming decode (VERDICT r2 next #3: the dense
+# (B,T,Dmax,L) tensor would be 8.6 GB here; the rolling-window max-plus
+# lattice runs it on one chip)
+from asr_craft_tpu.models.segmental import scrf_decode
+@jax.jit
+def dec(feats):
+    starts, labs, n, scores = scrf_decode(cfg, params, feats, lengths)
+    return feats + 0.0 * scores[:, None, None], n
+feats, n = dec(feats)
+float(feats[0, 0, 0])
+t0 = time.perf_counter()
+for _ in range(N):
+    feats, n = dec(feats)
+float(feats[0, 0, 0])
+dt = (time.perf_counter() - t0) / N
+print(json.dumps({"kind": "scrf_prod_decode", "ms": dt * 1e3,
+                  "audio_s_per_s": B * T * 0.01 / dt}))
 """
     r = run_jsonl([sys.executable, "-c", code])
     p = last(r, "scrf_prod")
     row["train_audio_s_per_s"] = p.get("audio_s_per_s")
     row["train_ms_per_step_prod"] = p.get("ms_per_step")
+    d = last(r, "scrf_prod_decode")
+    row["decode_ms_prod"] = d.get("ms")
+    row["decode_audio_s_per_s"] = d.get("audio_s_per_s")
     return row
 
 
