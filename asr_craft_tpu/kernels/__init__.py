@@ -37,3 +37,7 @@ from asr_craft_tpu.kernels.viterbi_pallas import (viterbi_pallas,
 from asr_craft_tpu.kernels.dual_pallas import (backward_dual_grad_pallas,
                                                backward_dual_pallas,
                                                forward_dual_pallas)
+from asr_craft_tpu.kernels.fdt_pallas import (fdt_backward_grad_pallas,
+                                              fdt_forward_pallas,
+                                              fdt_nll_dual_pallas,
+                                              fdt_viterbi_pallas)

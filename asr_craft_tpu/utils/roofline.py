@@ -44,7 +44,7 @@ import time
 __all__ = ["ChipSpec", "Phase", "V5E", "train_step_phases",
            "fdt_train_phases", "decode_phases", "fdt_decode_phases",
            "summarize",
-           "measure_stream_bw"]
+           "measure_stream_bw", "measure_vpu_geps"]
 
 _LANE = 128
 _TBLOCK = 8
@@ -73,14 +73,24 @@ class Phase:
     name: str
     bytes: float
     flops: float
+    # VPU element-operations on the critical path (elementwise adds/maxes/
+    # exps over kernel registers — the DP recursions' non-MXU work).  0 for
+    # phases whose cost is bytes/MXU only.  Held to a MEASURED elementwise
+    # throughput (measure_vpu_geps), so "latency/VPU-bound" phases get a
+    # quantitative third roofline term instead of an asserted caveat.
+    vpu_elems: float = 0.0
 
     def sol_s(self, spec: ChipSpec = V5E, bw_gbps: float | None = None,
-              fp32: bool = True, mode: str | None = None) -> float:
+              fp32: bool = True, mode: str | None = None,
+              vpu_geps: float | None = None) -> float:
         bw = (bw_gbps or spec.hbm_gbps) * 1e9
         mode = mode or ("fp32" if fp32 else "bf16")
         peak = {"fp32": spec.fp32_tflops, "bf16": spec.bf16_tflops,
                 "bf16x3": spec.bf16_tflops / 3.0}[mode] * 1e12
-        return max(self.bytes / bw, self.flops / peak)
+        sol = max(self.bytes / bw, self.flops / peak)
+        if vpu_geps and self.vpu_elems:
+            sol = max(sol, self.vpu_elems / (vpu_geps * 1e9))
+        return sol
 
 
 def train_step_phases(B: int, T: int, L: int, D: int,
@@ -152,13 +162,23 @@ def fdt_train_phases(B: int, T: int, L: int, D: int, ns: int,
     form = 2.0 * R * Du8 * Bk * Tp               # plane formation matmuls
     contract = 2.0 * R * Du8 * 5 * Bk * nb_bwd   # dW, (TB+1)=5 slots @ TB=4
 
+    # VPU element-op counts per frame (order-of-magnitude, counted from the
+    # kernel bodies): the cross-phone block touches (P8, P8, 2Bk) elements
+    # ~5x in the fwd lse (add, max, exp, sum, accumulate) and ~7x in the
+    # fused bwd (beta lse + xi emission); the (LP, 2Bk) rows see ~12/~20
+    # ops (state2 masks/clamp, self/adv gates, 3-way lse, gamma).
+    cross_el = P8 * P8 * 2 * Bk
+    row_el = LP * 2 * Bk
+    vpu_fwd = Tp * (5.0 * cross_el + 12.0 * row_el)
+    vpu_bwd = Tp * (7.0 * cross_el + 20.0 * row_el)
+
     return [
         # XLA-side prep: two xu/label transposes, Wall gather + scatter-back
         Phase("fdt_prep", 2 * btd + 2 * xu + 2 * lab
               + 4 * n_lambda * _F32 + 2 * wall, 0.0),
-        Phase("fdt_forward", xu + lab + wall + alphas, form),
+        Phase("fdt_forward", xu + lab + wall + alphas, form, vpu_fwd),
         Phase("fdt_backward_grad", xu + lab + alphas + 2 * wall,
-              form + contract),
+              form + contract, vpu_bwd),
         Phase("optimizer", 8 * n_lambda * _F32, 4.0 * n_lambda),
     ]
 
@@ -215,12 +235,14 @@ def decode_phases(B: int, T: int, L: int, D: int,
 def summarize(phases: list[Phase], measured_s: float,
               spec: ChipSpec = V5E,
               measured_bw_gbps: float | None = None,
-              mode: str = "fp32") -> dict:
+              mode: str = "fp32",
+              vpu_geps: float | None = None) -> dict:
     """Roll phases up into the bench.py roofline record.  ``mode`` selects
-    the MXU peak the FLOPs are held to ("fp32" | "bf16x3" | "bf16")."""
+    the MXU peak the FLOPs are held to ("fp32" | "bf16x3" | "bf16");
+    ``vpu_geps`` (measured, measure_vpu_geps) activates the VPU term."""
     total_bytes = sum(p.bytes for p in phases)
     total_flops = sum(p.flops for p in phases)
-    sol = sum(p.sol_s(spec, mode=mode) for p in phases)
+    sol = sum(p.sol_s(spec, mode=mode, vpu_geps=vpu_geps) for p in phases)
     out = {
         "chip": spec.name,
         "hbm_gbps_peak": spec.hbm_gbps,
@@ -232,16 +254,62 @@ def summarize(phases: list[Phase], measured_s: float,
         "achieved_gbps": round(total_bytes / measured_s / 1e9, 1),
         "phases": {p.name: {"mb": round(p.bytes / 1e6, 1),
                             "gflop": round(p.flops / 1e9, 2),
-                            "sol_ms": round(p.sol_s(spec, mode=mode) * 1e3,
-                                            3)}
+                            "vpu_gelems": round(p.vpu_elems / 1e9, 2),
+                            "sol_ms": round(
+                                p.sol_s(spec, mode=mode,
+                                        vpu_geps=vpu_geps) * 1e3, 3)}
                    for p in phases},
     }
+    if vpu_geps:
+        out["vpu_geps_measured"] = round(vpu_geps, 1)
     if measured_bw_gbps:
-        sol_ach = sum(p.sol_s(spec, bw_gbps=measured_bw_gbps, mode=mode)
+        sol_ach = sum(p.sol_s(spec, bw_gbps=measured_bw_gbps, mode=mode,
+                              vpu_geps=vpu_geps)
                       for p in phases)
         out["hbm_gbps_achievable"] = round(measured_bw_gbps, 1)
         out["pct_of_achievable_sol"] = round(100.0 * sol_ach / measured_s, 1)
     return out
+
+
+def measure_vpu_geps(n_mb: int = 64, depth: int = 24,
+                     iters: int = 12) -> float | None:
+    """Measured elementwise VPU throughput in giga-element-ops/s: a fused
+    chain of ``depth`` dependent exp/multiply-add stages per element (XLA
+    fuses the chain into one pass, so HBM traffic amortizes to ~nothing and
+    the timing is compute-bound).  exp is the dominant transcendental of
+    the DP kernels, so this is the representative per-element cost; each
+    chain stage counts as ~2 element-ops (one exp + one fma)."""
+    import jax
+    import jax.numpy as jnp
+
+    n = n_mb * 1024 * 1024 // _F32
+    x = jnp.full((n,), 0.1, jnp.float32)
+
+    @jax.jit
+    def f(x):
+        z = x
+        for _ in range(depth):
+            z = jnp.exp(z * -0.5) * 0.9 + 0.05   # stays in a stable range
+        return z
+
+    x = f(x)
+    float(x[0])
+    lo_iters = max(iters // 4, 1)
+
+    def run(k):
+        nonlocal x
+        t0 = time.perf_counter()
+        for _ in range(k):
+            x = f(x)
+        float(x[0])
+        return time.perf_counter() - t0
+
+    lo = min(run(lo_iters) for _ in range(2))
+    hi = min(run(iters) for _ in range(2))
+    dt = hi - lo
+    if dt <= 0:
+        return None
+    return 2.0 * depth * n * (iters - lo_iters) / dt / 1e9
 
 
 def measure_stream_bw(n_mb: int = 256, iters: int = 48) -> float:

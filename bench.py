@@ -157,11 +157,16 @@ def bench_decode_floor(Ts=(64, 128, 256, 512), steps=20):
         feats = batch["feats"]
         feats = step(params, feats, batch["lengths"])
         float(feats[0, 0, 0])
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            feats = step(params, feats, batch["lengths"])
-        float(feats[0, 0, 0])
-        times[T] = (time.perf_counter() - t0) / steps
+
+        def run():
+            nonlocal feats
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                feats = step(params, feats, batch["lengths"])
+            float(feats[0, 0, 0])
+            return (time.perf_counter() - t0) / steps
+
+        times[T] = min(run(), run())     # min-of-2 against tunnel jitter
     ts = np.asarray(list(times.keys()), np.float64)
     ys = np.asarray([times[t] for t in times], np.float64)
     b, a = np.polyfit(ts, ys, 1)
@@ -188,6 +193,7 @@ def bench_roofline(train_dt, decode_dt):
     L = cfg.num_labels * cfg.num_states
     D = cfg.feat_dim
     bw = rl.measure_stream_bw()
+    vpu = rl.measure_vpu_geps()
     mode = {"bf16x3": "bf16x3", "default": "bf16"}.get(TRAIN_PRECISION,
                                                        "fp32")
     if cfg.fmap.frame_dependent_trans:
@@ -197,7 +203,8 @@ def bench_roofline(train_dt, decode_dt):
         train_ph = rl.train_step_phases(B, T, L, D)
         dec_ph = rl.decode_phases(DECODE_B, T, L, D,
                                   num_states=cfg.num_states)
-    train = rl.summarize(train_ph, train_dt, measured_bw_gbps=bw, mode=mode)
+    train = rl.summarize(train_ph, train_dt, measured_bw_gbps=bw,
+                         mode=mode, vpu_geps=vpu)
     dec = rl.summarize(dec_ph, decode_dt, measured_bw_gbps=bw)
     return train, dec
 
