@@ -31,7 +31,9 @@ from asr_craft_tpu.kernels.fwdbwd_pallas import (backward_pallas,
                                                  forward_pallas)
 from asr_craft_tpu.kernels.segmental_pallas import (segmental_backward_pallas,
                                                     segmental_forward_pallas,
-                                                    segmental_grad_pallas)
+                                                    segmental_grad_pallas,
+                                                    segmental_viterbi_pallas,
+                                                    segmental_viterbi_traceback_pallas)
 from asr_craft_tpu.kernels.viterbi_pallas import (viterbi_pallas,
                                                   viterbi_pallas_nstate)
 from asr_craft_tpu.kernels.dual_pallas import (backward_dual_grad_pallas,

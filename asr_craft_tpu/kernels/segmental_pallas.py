@@ -397,3 +397,237 @@ def segmental_grad_pallas(cum, trans, bias, lengths, alphas, betas, logZ, g,
       bias, _invd2d(Dmax, mean_pool))
     return (A[:, :B, :L], S_emit[:, :B, :L], acc_fin[:, :B, :L],
             gd[:, :L], gt[:L, :L])
+
+
+# ---------------------------------------------------------------------------
+# segmental max-plus decode (streaming Viterbi forward)
+# ---------------------------------------------------------------------------
+
+def _seg_vit_kernel(lsub, thr, len_ref, cum_ref, trans_ref, bias_ref,
+                    invd_ref, deltas_ref, argd_ref, M_buf, cum_buf):
+    """Max-plus analogue of the forward kernel with the M-window
+    restructure: the duration message ``max_p delta[t-1-d, p] + trans[p,l]``
+    depends only on ``u = t-1-d``, so ONE (B, lsub, L) max-plus per frame
+    (computed when frame u's delta is emitted) rides a rolling (Dmax, B, L)
+    window — the naive per-frame (Dmax, B, L, L) tensor never exists.
+    Emits deltas and the duration argmax; predecessor argmaxes are
+    re-derived per segment jump in the XLA traceback (ops.segmental_stream
+    seg_viterbi_stream)."""
+    t = pl.program_id(0)
+    Dmax, B, L = M_buf.shape
+
+    @pl.when(t == 0)
+    def _():
+        M_buf[:] = jnp.full_like(M_buf, NEG_INF)
+        cum_buf[:] = jnp.zeros_like(cum_buf)
+
+    cum_now = cum_ref[0]                                    # (B, L)
+    ds = jax.lax.broadcasted_iota(jnp.int32, (Dmax, 1, 1), 0)
+    msg = jnp.where(ds == t, 0.0, M_buf[:])
+    msg = jnp.where(ds > t, NEG_INF, msg)
+    invd = invd_ref[:, 0:1].reshape(Dmax, 1, 1)
+    seg = (cum_now[None] - cum_buf[:]) * invd \
+        + bias_ref[:].reshape(Dmax, 1, L)
+    cand = msg + seg                                        # (Dmax, B, L)
+    delta_t = jnp.max(cand, axis=0)
+    di = jax.lax.broadcasted_iota(jnp.int32, cand.shape, 0)
+    argd = jnp.min(jnp.where(cand == delta_t[None], di, Dmax), axis=0)
+    if thr is not None:
+        rowm = jnp.max(delta_t, axis=-1, keepdims=True)
+        delta_t = jnp.where(delta_t >= rowm - thr, delta_t, NEG_INF)
+    valid = len_ref[:, 0:1] > t
+    delta_t = jnp.where(valid, delta_t, NEG_INF)
+    deltas_ref[0] = delta_t
+    argd_ref[0] = argd
+
+    # message window for later frames (one max-plus, reduction over the
+    # real predecessor rows only)
+    dl = jax.lax.slice(delta_t, (0, 0), (B, lsub))
+    cand_p = dl[:, :, None] + trans_ref[0:lsub, :][None, :, :]
+    M_new = jnp.max(cand_p, axis=1)                         # (B, L)
+    M_buf[:] = jnp.concatenate([M_new[None], M_buf[:-1]], axis=0)
+    cum_buf[:] = jnp.concatenate([cum_now[None], cum_buf[:-1]], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("max_dur", "mean_pool",
+                                             "beam_threshold", "interpret"))
+def segmental_viterbi_pallas(frame_scores_tm, trans, dur_bias, seg_bias,
+                             lengths, max_dur: int, mean_pool: bool = True,
+                             beam_threshold: float | None = None,
+                             interpret: bool = False):
+    """Streaming segmental Viterbi forward.  Returns
+    (deltas (T, B, L), arg_d (T, B, L) int32, lab0 (B,), scores (B,)) for
+    the XLA traceback.  ``beam_threshold``: score-margin pruning on the
+    per-frame deltas (None = exact)."""
+    T, B, L = frame_scores_tm.shape
+    Bp, Lp = _round_up(B, _SUBLANE), _round_up(L, _LANE)
+    Dmax = max_dur
+    fs = frame_scores_tm
+    if (Bp, Lp) != (B, L):
+        fs = jnp.pad(fs, ((0, 0), (0, Bp - B), (0, Lp - L)))
+        trans = jnp.pad(trans, ((0, Lp - L),) * 2, constant_values=NEG_INF)
+        lengths = jnp.pad(lengths, (0, Bp - B), constant_values=1)
+    bias = jnp.zeros((Dmax, Lp), jnp.float32)
+    if dur_bias is not None:
+        bias = bias.at[:, :L].add(dur_bias)
+    if seg_bias is not None:
+        bias = bias.at[:, :L].add(seg_bias[None, :])
+    if Lp != L:
+        bias = bias.at[:, L:].set(NEG_INF)
+    cum = jnp.cumsum(fs, axis=0)
+    invd = (1.0 / (jnp.arange(Dmax) + 1.0) if mean_pool
+            else jnp.ones(Dmax))
+    invd2d = jnp.broadcast_to(invd[:, None].astype(jnp.float32),
+                              (Dmax, _LANE))
+    len2d = jnp.broadcast_to(lengths[:, None].astype(jnp.int32),
+                             (Bp, _LANE))
+    lsub = _round_up(L, _SUBLANE)
+
+    deltas, argd = pl.pallas_call(
+        functools.partial(_seg_vit_kernel, lsub, beam_threshold),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((Bp, _LANE), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bp, Lp), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lp, Lp), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Dmax, Lp), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Dmax, _LANE), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Bp, Lp), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bp, Lp), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, Bp, Lp), jnp.float32),
+            jax.ShapeDtypeStruct((T, Bp, Lp), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Dmax, Bp, Lp), jnp.float32),
+            pltpu.VMEM((Dmax, Bp, Lp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(len2d, cum, trans, bias, invd2d)
+
+    deltas = deltas[:, :B, :L]
+    argd = argd[:, :B, :L]
+    last = jnp.take_along_axis(
+        deltas, (lengths[:B] - 1)[None, :, None].astype(jnp.int32)
+        .repeat(L, axis=2), axis=0)[0]                      # (B, L)
+    scores = jnp.max(last, axis=-1)
+    lab0 = jnp.argmax(last, axis=-1).astype(jnp.int32)
+    return deltas, argd, lab0, scores
+
+
+def _seg_vit_tb_kernel(len_ref, lab0_ref, deltas_ref, argd_ref,
+                       transT_ref, out_lab_ref, out_start_ref, cur_t,
+                       pending):
+    """Segment traceback as a descending frame grid (single launch — the
+    vmapped while_loop traceback is iteration-launch-bound on TPU).
+
+    Deferred-resolution trick: when a segment [start, t] is identified at
+    frame t, its PREDECESSOR's argmax needs deltas[start-1] — not loaded
+    yet.  Instead of gathering across frames, the carry records
+    ``cur_t = start-1`` and the ended segment's label; when the grid
+    reaches frame start-1 its delta block is resident and the predecessor
+    argmax (and that segment's own duration lookup) happen locally.
+
+    Orientation: batch on sublanes everywhere ((B, 1) carries broadcast
+    along lanes) — Mosaic has no general small-transpose lowering.
+    ``transT_ref`` is trans^T, precomputed by the wrapper.
+    """
+    i = pl.program_id(0)
+    T = pl.num_programs(0)
+    t = T - 1 - i
+    B, L = deltas_ref.shape[1:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+
+    @pl.when(i == 0)
+    def _():
+        cur_t[:] = len_ref[:] - 1
+        pending[:] = jnp.full_like(pending, -1)
+
+    active = cur_t[:, 0:1] == t                              # (B, 1)
+    delta_u = deltas_ref[0]                                  # (B, L)
+    # trans column for each row's pending label: v2[b, p] = trans[p, lab_b]
+    onehot = jnp.where(lane == pending[:, 0:1], 1.0, 0.0)
+    v2 = jnp.dot(onehot, transT_ref[:],
+                 preferred_element_type=jnp.float32)         # (B, L=p)
+    cand = delta_u + v2
+    m = jnp.max(cand, axis=-1, keepdims=True)
+    prev = jnp.min(jnp.where(cand == m, lane, L), axis=-1,
+                   keepdims=True)                            # (B, 1)
+    first = pending[:, 0:1] < 0                              # initial segment
+    lab_end = jnp.where(first, lab0_ref[:, 0:1], prev)
+    lab_end = jnp.clip(lab_end, 0, L - 1)                    # (B, 1)
+    hot = jnp.where(lane == lab_end, 1.0, 0.0)
+    d = jnp.sum(argd_ref[0].astype(jnp.float32) * hot, axis=-1,
+                keepdims=True).astype(jnp.int32)             # (B, 1)
+    start = t - d
+
+    out_lab_ref[0] = jnp.broadcast_to(
+        jnp.where(active, lab_end, -1), out_lab_ref[0].shape)
+    out_start_ref[0] = jnp.broadcast_to(
+        jnp.where(active, start, 0), out_start_ref[0].shape)
+    cur_t[:] = jnp.where(active, start - 1, cur_t[:])
+    pending[:] = jnp.where(active, lab_end, pending[:])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def segmental_viterbi_traceback_pallas(deltas, argd, trans, lab0, lengths,
+                                       interpret: bool = False):
+    """(T, B, L) deltas/argd -> per-frame segment-end markers
+    ``(end_lab (T, B) int32, -1 where no segment ends; start (T, B))``."""
+    T, B, L = deltas.shape
+    Bp, Lp = _round_up(B, _SUBLANE), _round_up(L, _LANE)
+    if (Bp, Lp) != (B, L):
+        deltas = jnp.pad(deltas, ((0, 0), (0, Bp - B), (0, Lp - L)),
+                         constant_values=NEG_INF)
+        argd = jnp.pad(argd, ((0, 0), (0, Bp - B), (0, Lp - L)))
+        trans = jnp.pad(trans, ((0, Lp - L),) * 2, constant_values=NEG_INF)
+        lab0 = jnp.pad(lab0, (0, Bp - B))
+        lengths = jnp.pad(lengths, (0, Bp - B), constant_values=0)
+    len2 = jnp.broadcast_to(lengths[:, None].astype(jnp.int32),
+                            (Bp, _LANE))
+    lab02 = jnp.broadcast_to(lab0[:, None].astype(jnp.int32),
+                             (Bp, _LANE))
+    out_lab, out_start = pl.pallas_call(
+        _seg_vit_tb_kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((Bp, _LANE), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bp, _LANE), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bp, Lp),
+                         lambda i: (pl.num_programs(0) - 1 - i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bp, Lp),
+                         lambda i: (pl.num_programs(0) - 1 - i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lp, Lp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Bp, _LANE),
+                         lambda i: (pl.num_programs(0) - 1 - i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bp, _LANE),
+                         lambda i: (pl.num_programs(0) - 1 - i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, Bp, _LANE), jnp.int32),
+            jax.ShapeDtypeStruct((T, Bp, _LANE), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((Bp, _LANE), jnp.int32),
+                        pltpu.VMEM((Bp, _LANE), jnp.int32)],
+        interpret=interpret,
+    )(len2, lab02, deltas, argd, jnp.transpose(trans))
+    return out_lab[:, :B, 0], out_start[:, :B, 0]

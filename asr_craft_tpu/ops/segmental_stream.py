@@ -569,6 +569,21 @@ def seg_viterbi_stream(frame_tm, bias, trans, lengths, max_dur: int,
     delta rows (threshold margin and/or top-k max-active); both None =
     exact.
     """
+    from asr_craft_tpu import kernels
+    if (frame_tm.ndim == 3 and ns == 1 and beam_width is None
+            and kernels.backend() == "pallas"):
+        # fused forward + traceback kernels (two launches — the XLA scan
+        # and the vmapped while_loop traceback are both launch-bound at
+        # T=512); the traceback kernel resolves predecessor argmaxes
+        # lazily when the descending grid reaches each jump target
+        T = frame_tm.shape[0]
+        deltas, arg_d, lab0, scores = kernels.segmental_viterbi_pallas(
+            frame_tm, trans, bias, None, lengths, max_dur, mean_pool,
+            beam_threshold)
+        end_lab, end_start = kernels.segmental_viterbi_traceback_pallas(
+            deltas, arg_d, trans, lab0, lengths)
+        starts, labels, n = _pack_segment_markers(end_lab, end_start)
+        return starts, labels, n, scores
     if frame_tm.ndim == 3:
         frame_tm = frame_tm[:, :, None, :]
     T, B, ns_, L = frame_tm.shape
@@ -641,3 +656,51 @@ def seg_viterbi_stream(frame_tm, bias, trans, lengths, max_dur: int,
     starts, labels, n = jax.vmap(traceback, in_axes=(1, 1, 0, 0))(
         arg_d, arg_p, lab0, lengths)
     return starts, labels, n, scores
+
+
+def _seg_traceback_deltas(arg_d, deltas, trans, lab0, lengths, T):
+    """Batched segment traceback from (T, B, L) deltas + duration argmaxes:
+    the predecessor label of the segment starting at ``start`` is
+    ``argmax_p deltas[start-1, p] + trans[p, lab]`` (the same quantity the
+    scan path stores as arg_p — re-derived here so the forward kernel emits
+    no (T, B, L) predecessor tensor)."""
+    def traceback(arg_d_b, deltas_b, lab0_b, length):
+        def body(state):
+            t, lab, i, starts, labels = state
+            d = arg_d_b[t, lab]
+            start = t - d
+            starts = starts.at[i].set(start)
+            labels = labels.at[i].set(lab)
+            prev = jnp.argmax(
+                deltas_b[jnp.maximum(start - 1, 0)] + trans[:, lab]
+            ).astype(jnp.int32)
+            return start - 1, prev, i + 1, starts, labels
+
+        init = (length - 1, lab0_b, jnp.int32(0),
+                jnp.zeros((T,), jnp.int32), jnp.zeros((T,), jnp.int32))
+        _, _, n, st_rev, lb_rev = jax.lax.while_loop(
+            lambda s: s[0] >= 0, body, init)
+        idx = jnp.arange(T)
+        src = jnp.clip(n - 1 - idx, 0, T - 1)
+        return (jnp.where(idx < n, st_rev[src], 0),
+                jnp.where(idx < n, lb_rev[src], 0), n)
+
+    return jax.vmap(traceback, in_axes=(1, 1, 0, 0))(arg_d, deltas, lab0,
+                                                     lengths)
+
+
+def _pack_segment_markers(end_lab, end_start):
+    """(T, B) per-frame segment-end markers (label or -1, start frame) ->
+    the fixed-size ascending (B, T) starts/labels/n layout."""
+    T = end_lab.shape[0]
+
+    def pack(ol, os):
+        ends = ol >= 0
+        k = jnp.cumsum(ends) - 1
+        n = jnp.sum(ends.astype(jnp.int32))
+        idx = jnp.where(ends, k, T)
+        starts = jnp.zeros((T,), jnp.int32).at[idx].set(os, mode="drop")
+        labels = jnp.zeros((T,), jnp.int32).at[idx].set(ol, mode="drop")
+        return starts, labels, n
+
+    return jax.vmap(pack, in_axes=(1, 1))(end_lab, end_start)

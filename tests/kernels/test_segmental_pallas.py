@@ -149,3 +149,69 @@ def test_seg_stream_vjp_pallas_backend(rng):
     for k in gd:
         np.testing.assert_allclose(np.asarray(gf[k]), np.asarray(gd[k]),
                                    rtol=5e-4, atol=1e-5, err_msg=k)
+
+
+def test_segmental_viterbi_kernel_matches_dense(rng):
+    """Fused max-plus forward kernel (M-window) + deltas traceback == the
+    dense materialized segmental Viterbi."""
+    import jax.numpy as jnp
+    from asr_craft_tpu import kernels
+    from asr_craft_tpu.models.segmental import (SegCrfConfig,
+                                                scrf_decode_dense,
+                                                _frame_scores_and_bias)
+    from asr_craft_tpu.ops.segmental_stream import _seg_traceback_deltas
+
+    cfg = SegCrfConfig(num_labels=5, feat_dim=6, max_dur=4)
+    params = cfg.init_params(jax.random.PRNGKey(10), scale=0.4)
+    feats = jnp.asarray(rng.normal(size=(3, 11, 6)), jnp.float32)
+    lengths = jnp.asarray([11, 8, 4], jnp.int32)
+    frame, bias = _frame_scores_and_bias(cfg, params, feats)
+    T = feats.shape[1]
+    deltas, argd, lab0, scores = kernels.segmental_viterbi_pallas(
+        jnp.moveaxis(frame, 1, 0), params["b_trans"], bias, None, lengths,
+        cfg.max_dur, True, interpret=True)
+    starts, labels, n = _seg_traceback_deltas(argd, deltas,
+                                              params["b_trans"], lab0,
+                                              lengths, T)
+    s2, l2, n2, sc2 = scrf_decode_dense(cfg, params, feats, lengths)
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(sc2),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(n), np.asarray(n2))
+    for b in range(3):
+        k = int(n[b])
+        np.testing.assert_array_equal(np.asarray(starts)[b, :k],
+                                      np.asarray(s2)[b, :k])
+        np.testing.assert_array_equal(np.asarray(labels)[b, :k],
+                                      np.asarray(l2)[b, :k])
+
+
+def test_segmental_viterbi_traceback_kernel(rng):
+    """Forward kernel + in-kernel traceback + marker packing == dense."""
+    import jax.numpy as jnp
+    from asr_craft_tpu import kernels
+    from asr_craft_tpu.models.segmental import (SegCrfConfig,
+                                                scrf_decode_dense,
+                                                _frame_scores_and_bias)
+    from asr_craft_tpu.ops.segmental_stream import _pack_segment_markers
+
+    cfg = SegCrfConfig(num_labels=5, feat_dim=6, max_dur=4)
+    params = cfg.init_params(jax.random.PRNGKey(11), scale=0.4)
+    feats = jnp.asarray(rng.normal(size=(3, 13, 6)), jnp.float32)
+    lengths = jnp.asarray([13, 9, 4], jnp.int32)
+    frame, bias = _frame_scores_and_bias(cfg, params, feats)
+    deltas, argd, lab0, scores = kernels.segmental_viterbi_pallas(
+        jnp.moveaxis(frame, 1, 0), params["b_trans"], bias, None, lengths,
+        cfg.max_dur, True, interpret=True)
+    end_lab, end_start = kernels.segmental_viterbi_traceback_pallas(
+        deltas, argd, params["b_trans"], lab0, lengths, interpret=True)
+    starts, labels, n = _pack_segment_markers(end_lab, end_start)
+    s2, l2, n2, sc2 = scrf_decode_dense(cfg, params, feats, lengths)
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(sc2),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(n), np.asarray(n2))
+    for b in range(3):
+        k = int(n[b])
+        np.testing.assert_array_equal(np.asarray(starts)[b, :k],
+                                      np.asarray(s2)[b, :k], err_msg=f"{b}")
+        np.testing.assert_array_equal(np.asarray(labels)[b, :k],
+                                      np.asarray(l2)[b, :k], err_msg=f"{b}")
