@@ -696,11 +696,14 @@ def _pack_segment_markers(end_lab, end_start):
 
     def pack(ol, os):
         ends = ol >= 0
-        k = jnp.cumsum(ends) - 1
-        n = jnp.sum(ends.astype(jnp.int32))
-        idx = jnp.where(ends, k, T)
-        starts = jnp.zeros((T,), jnp.int32).at[idx].set(os, mode="drop")
-        labels = jnp.zeros((T,), jnp.int32).at[idx].set(ol, mode="drop")
-        return starts, labels, n
+        cs = jnp.cumsum(ends.astype(jnp.int32))
+        n = cs[-1]
+        # slot k holds the k-th end in ascending t: the first t with
+        # cs[t] == k+1 (searchsorted gather — XLA scatters are slow on TPU)
+        tk = jnp.clip(jnp.searchsorted(cs, jnp.arange(1, T + 1),
+                                       side="left"), 0, T - 1)
+        live = jnp.arange(T) < n
+        return (jnp.where(live, os[tk], 0).astype(jnp.int32),
+                jnp.where(live, ol[tk], 0).astype(jnp.int32), n)
 
     return jax.vmap(pack, in_axes=(1, 1))(end_lab, end_start)
