@@ -312,3 +312,22 @@ def test_scrf_decode_stream_beam(rng):
     _, _, _, sc_t = scrf_decode(cfg, params, feats, lengths,
                                 beam_threshold=0.1)
     assert np.all(np.asarray(sc_t) <= np.asarray(sc) + 1e-5)
+
+
+def test_pack_segment_markers_edges():
+    """Marker packing: empty sequences, single segment, full coverage."""
+    from asr_craft_tpu.ops.segmental_stream import _pack_segment_markers
+    T, B = 6, 3
+    end_lab = -np.ones((T, B), np.int32)
+    end_start = np.zeros((T, B), np.int32)
+    # b=0: no segments at all; b=1: one segment [0, 5]; b=2: two segments
+    end_lab[5, 1] = 4; end_start[5, 1] = 0
+    end_lab[2, 2] = 1; end_start[2, 2] = 0
+    end_lab[5, 2] = 3; end_start[5, 2] = 3
+    starts, labels, n = _pack_segment_markers(jnp.asarray(end_lab),
+                                              jnp.asarray(end_start))
+    np.testing.assert_array_equal(np.asarray(n), [0, 1, 2])
+    np.testing.assert_array_equal(np.asarray(starts)[1, :1], [0])
+    np.testing.assert_array_equal(np.asarray(labels)[1, :1], [4])
+    np.testing.assert_array_equal(np.asarray(starts)[2, :2], [0, 3])
+    np.testing.assert_array_equal(np.asarray(labels)[2, :2], [1, 3])
