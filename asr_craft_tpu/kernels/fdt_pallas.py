@@ -240,10 +240,14 @@ def _fwd_kernel(ns, P, P8, clamp_ns, boundaries, prec, TB,
 # backward + full-gradient kernel
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(ns, P, P8, clamp_ns, boundaries, prec, TB,
+def _bwd_kernel(ns, P, P8, clamp_ns, boundaries, prec, TB, want_dfeats,
                 len_ref, zw_ref, xu_ref, lab_ref, alphas_ref, Wall_ref,
-                dW_ref, carry, plane, dplane, saved_plane, saved_lab,
-                saved_xu):
+                dW_ref, *rest):
+    if want_dfeats:
+        dxu_ref, dxe_ref, carry, plane, dplane, saved_plane, saved_lab, \
+            saved_xu = rest
+    else:
+        carry, plane, dplane, saved_plane, saved_lab, saved_xu = rest
     i = pl.program_id(0)
     nb = pl.num_programs(0)
     base = (nb - 1 - i) * TB
@@ -364,6 +368,15 @@ def _bwd_kernel(ns, P, P8, clamp_ns, boundaries, prec, TB,
     dW_ref[:] += _mm(dplane[:, 0:TBK], xu_ref[0], prec, cdims)
     dW_ref[:] += _mm(dplane[:, TBK:], saved_xu[:, 0:Bk], prec, cdims)
 
+    if want_dfeats:
+        # feature cotangent: plane = Wall @ xu, so dxu = Wall^T @ dplane.
+        # The extra slot's xi targets frame base+TB (the NEXT block's frame
+        # 0, whose xu is saved_xu) — emitted separately, folded in by the
+        # wrapper (ADVICE r3 medium: the zero dfeats was a silent contract).
+        rdims = (((0,), (0,)), ((), ()))
+        dxu_ref[0] = _mm(Wall_ref[:], dplane[:, 0:TBK], prec, rdims)
+        dxe_ref[0] = _mm(Wall_ref[:], dplane[:, TBK:], prec, rdims)
+
     # save this block's frame-0 columns for the next (earlier) grid step
     saved_plane[:] = plane[:, 0:Bk]
     saved_lab[:] = lab_ref[0]
@@ -463,13 +476,16 @@ def fdt_forward_pallas(Wall, feats, labels, lengths, *, u0, u1, ns, P, P8,
 
 @functools.partial(jax.jit, static_argnames=(
     "u0", "u1", "ns", "P", "P8", "clamp_ns", "boundaries", "precision",
-    "interpret"))
+    "interpret", "want_dfeats"))
 def fdt_backward_grad_pallas(Wall, feats, labels, lengths, alphas, zf, zc,
                              wf, wc, *, u0, u1, ns, P, P8, clamp_ns,
                              boundaries, precision="highest",
-                             interpret=False):
+                             interpret=False, want_dfeats=False):
     """Fused beta + complete weight gradient.  Returns dWall (R, Du8)
-    (bias gradient in the last meaningful column)."""
+    (bias gradient in the last meaningful column); with ``want_dfeats``
+    also the feature cotangent dfeats (B, T, D) (zeros outside the
+    [min(ranges), max(ranges)) slice), contracted in-kernel as
+    ``Wall^T @ dplane`` per block."""
     B, T, _ = feats.shape
     Bk = _up(B, _BMULT)
     TB = _TB_BWD
@@ -489,9 +505,24 @@ def fdt_backward_grad_pallas(Wall, feats, labels, lengths, alphas, zf, zc,
         jnp.stack([z2, w2])[:, None, :].astype(jnp.float32),
         (2, _SUBLANE, 2 * Bk))
 
-    [dW] = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((R, Du8), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((R, Du8), jnp.float32)]
+    if want_dfeats:
+        out_specs += [
+            pl.BlockSpec((1, Du8, TBK), lambda i: (nb - 1 - i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Du8, Bk), lambda i: (nb - 1 - i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape += [jax.ShapeDtypeStruct((nb, Du8, TBK), jnp.float32),
+                      jax.ShapeDtypeStruct((nb, Du8, Bk), jnp.float32)]
+
+    out = pl.pallas_call(
         functools.partial(_bwd_kernel, ns, P, P8, clamp_ns, boundaries,
-                          prec, TB),
+                          prec, TB, want_dfeats),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((_SUBLANE, 2 * Bk), lambda i: (0, 0),
@@ -507,11 +538,8 @@ def fdt_backward_grad_pallas(Wall, feats, labels, lengths, alphas, zf, zc,
             pl.BlockSpec((R, Du8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((R, Du8), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[jax.ShapeDtypeStruct((R, Du8), jnp.float32)],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((LP, 2 * Bk), jnp.float32),          # beta carry
             pltpu.VMEM((R, TBK), jnp.float32),              # plane
@@ -524,7 +552,20 @@ def fdt_backward_grad_pallas(Wall, feats, labels, lengths, alphas, zf, zc,
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(len2, zw, xu, lab, alphas, Wall)
-    return dW
+    if not want_dfeats:
+        return out[0]
+    dW, dxu, dxe = out
+    # invert _prep_xu's block transpose: (nb, Du8, TB*Bk) -> (Tp, Du8, Bk)
+    dxu = dxu.reshape(nb, Du8, TB, Bk).transpose(0, 2, 1, 3) \
+             .reshape(Tp, Du8, Bk)
+    # the extra slot of block j is the xi of frame (j+1)*TB (block j+1's
+    # frame 0, saved_xu); the last block's extra is identically zero
+    dxu = dxu.at[TB::TB].add(dxe[:-1])
+    Du = u1 - u0
+    dfe = jnp.transpose(dxu[:T, 0:Du, 0:B], (2, 0, 1))      # (B, T, Du)
+    dfeats = jnp.zeros_like(feats, jnp.float32)
+    dfeats = dfeats.at[:, :, u0:u1].set(dfe).astype(feats.dtype)
+    return dW, dfeats
 
 
 # ---------------------------------------------------------------------------
@@ -587,9 +628,9 @@ def build_wall(params, fmap_cfg, ns: int):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10,
-                                                    11))
+                                                    11, 12))
 def _fdt_core(Wall, feats, labels, lengths, u01, ns, P, P8, clamp_ns,
-              boundaries, precision, interpret):
+              boundaries, precision, interpret, grad_feats):
     _, zf, zc = fdt_forward_pallas(
         Wall, feats, labels, lengths, u0=u01[0], u1=u01[1], ns=ns, P=P,
         P8=P8, clamp_ns=clamp_ns, boundaries=boundaries,
@@ -598,7 +639,7 @@ def _fdt_core(Wall, feats, labels, lengths, u01, ns, P, P8, clamp_ns,
 
 
 def _fdt_core_fwd(Wall, feats, labels, lengths, u01, ns, P, P8, clamp_ns,
-                  boundaries, precision, interpret):
+                  boundaries, precision, interpret, grad_feats):
     alphas, zf, zc = fdt_forward_pallas(
         Wall, feats, labels, lengths, u0=u01[0], u1=u01[1], ns=ns, P=P,
         P8=P8, clamp_ns=clamp_ns, boundaries=boundaries,
@@ -607,14 +648,22 @@ def _fdt_core_fwd(Wall, feats, labels, lengths, u01, ns, P, P8, clamp_ns,
 
 
 def _fdt_core_bwd(u01, ns, P, P8, clamp_ns, boundaries, precision,
-                  interpret, res, gs):
+                  interpret, grad_feats, res, gs):
     Wall, feats, labels, lengths, alphas, zf, zc = res
     gzf, gzc = gs
-    dW = fdt_backward_grad_pallas(
+    out = fdt_backward_grad_pallas(
         Wall, feats, labels, lengths, alphas, zf, zc, gzf, gzc,
         u0=u01[0], u1=u01[1], ns=ns, P=P, P8=P8, clamp_ns=clamp_ns,
-        boundaries=boundaries, precision=precision, interpret=interpret)
-    return dW, jnp.zeros_like(feats), None, None
+        boundaries=boundaries, precision=precision, interpret=interpret,
+        want_dfeats=grad_feats)
+    if grad_feats:
+        dW, dfeats = out
+    else:
+        # grad_feats=False: feats are stop_gradient'ed at the dispatch
+        # site (fdt_nll_dual_pallas), so this zero can never be consumed
+        # as a real cotangent (ADVICE r3 medium)
+        dW, dfeats = out, jnp.zeros_like(feats)
+    return dW, dfeats, None, None
 
 
 _fdt_core.defvjp(_fdt_core_fwd, _fdt_core_bwd)
@@ -622,14 +671,25 @@ _fdt_core.defvjp(_fdt_core_fwd, _fdt_core_bwd)
 
 def fdt_nll_dual_pallas(fmap_cfg, ns: int, params, feats, labels, lengths,
                         clamp_ns: int, boundaries: bool,
-                        interpret: bool = False):
+                        interpret: bool = False, grad_feats: bool = False):
     """mxu.nll_dual-shaped objective on the fused kernels: per-sequence
     (nll, logZ, numerator) with the classical gradient flowing back into
-    the canonical parameters through build_wall's gathers."""
+    the canonical parameters through build_wall's gathers.
+
+    ``grad_feats``: by default the feature cotangent is NOT computed — the
+    CRF objective differentiates w.r.t. params only, and the dfeats
+    contraction would add ~1/3 to the backward kernel's MXU work — and
+    ``feats`` is stop_gradient'ed here so the limitation is an explicit
+    contract, not a silent zero.  Pass ``grad_feats=True`` (e.g. when
+    training an upstream encoder through crf_loss) to get the true dfeats,
+    contracted in-kernel as ``Wall^T @ dplane`` and parity-tested against
+    the XLA path (tests/kernels/test_fdt_pallas.py)."""
     Wall, u0, u1, dims = build_wall(params, fmap_cfg, ns)
+    if not grad_feats:
+        feats = jax.lax.stop_gradient(feats)
     zf, zc = _fdt_core(Wall, feats, labels, lengths, (u0, u1), ns,
                        dims["P"], dims["P8"], clamp_ns, boundaries,
-                       fmap_cfg.precision, interpret)
+                       fmap_cfg.precision, interpret, grad_feats)
     return zf - zc, zf, zc
 
 

@@ -517,11 +517,16 @@ def segmental_viterbi_pallas(frame_scores_tm, trans, dur_bias, seg_bias,
 
     deltas = deltas[:, :B, :L]
     argd = argd[:, :B, :L]
+    # clip the final-frame gather and mask zero-length rows to NEG_INF,
+    # matching the XLA seg_viterbi_stream (a raw lengths-1 would index
+    # frame -1 and return garbage scores for length-0 padding rows)
+    lastf = jnp.clip(lengths[:B] - 1, 0)
     last = jnp.take_along_axis(
-        deltas, (lengths[:B] - 1)[None, :, None].astype(jnp.int32)
+        deltas, lastf[None, :, None].astype(jnp.int32)
         .repeat(L, axis=2), axis=0)[0]                      # (B, L)
-    scores = jnp.max(last, axis=-1)
-    lab0 = jnp.argmax(last, axis=-1).astype(jnp.int32)
+    live = lengths[:B] > 0
+    scores = jnp.where(live, jnp.max(last, axis=-1), NEG_INF)
+    lab0 = jnp.where(live, jnp.argmax(last, axis=-1), 0).astype(jnp.int32)
     return deltas, argd, lab0, scores
 
 

@@ -122,7 +122,7 @@ def apply_boundaries(cfg: CrfConfig, state, lengths):
 
 
 def crf_loss(cfg: CrfConfig, params, feats, labels, lengths, sparse=None,
-             label_kind: str = "phone"):
+             label_kind: str = "phone", grad_feats: bool = False):
     """Mean negative conditional log-likelihood per frame.
 
     ``labels``: (B, T) int32 frame labels — phone labels by default, or
@@ -130,6 +130,12 @@ def crf_loss(cfg: CrfConfig, params, feats, labels, lengths, sparse=None,
     hardtarget streams can carry either; SURVEY.md §2.1 "hardtarget_*").
     Returns (loss, aux dict) where aux carries per-utterance logZ and
     numerator scores (the reference logs logZx per utterance).
+
+    ``grad_feats``: set True when differentiating through ``feats`` (an
+    upstream encoder / input saliency).  The fused fdt Pallas path only
+    computes the feature cotangent when asked (and stop_gradients feats
+    otherwise, so a forgotten flag fails loudly as a disconnected graph
+    rather than silently training an encoder at zero gradient).
     """
     if cfg.fmap.frame_dependent_trans and cfg.featuremap == "dense":
         # topology-factored fast path (ops.fdt): never materializes the
@@ -138,7 +144,7 @@ def crf_loss(cfg: CrfConfig, params, feats, labels, lengths, sparse=None,
         clamp_ns = 1 if label_kind == "state" else cfg.num_states
         raw_nll, logZ, num = fdt.fdt_nll_dual(
             cfg.fmap, cfg.num_states, params, feats, labels, lengths,
-            clamp_ns, cfg.enforce_boundaries)
+            clamp_ns, cfg.enforce_boundaries, grad_feats=grad_feats)
         nll = jnp.where(lengths > 0, raw_nll, 0.0)
         total_frames = jnp.maximum(jnp.sum(lengths), 1)
         return jnp.sum(nll) / total_frames, {

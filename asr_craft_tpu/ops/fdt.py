@@ -221,13 +221,18 @@ def _dead_guard(z):
 
 
 def fdt_nll_dual(fmap_cfg, ns: int, params, feats, labels, lengths,
-                 clamp_ns: int | None = None, boundaries: bool = True):
+                 clamp_ns: int | None = None, boundaries: bool = True,
+                 grad_feats: bool = False):
     """Fused dual-lattice objective for frame-dependent transitions.
 
     Mirrors ops.mxu.nll_dual's contract: returns per-sequence
     ``(nll, logZ, numerator)``.  Backend dispatch: the fused Pallas kernel
     (plane formation on the in-kernel MXU, classical-gradient VJP) on TPU
     when the shape is eligible; the factored XLA scan elsewhere.
+
+    ``grad_feats``: the Pallas path computes the feature cotangent only
+    when asked (kernels.fdt_pallas.fdt_nll_dual_pallas docstring); the XLA
+    path always differentiates feats naturally.
     """
     from asr_craft_tpu import kernels
     Lp = fmap_cfg.num_expanded
@@ -236,7 +241,8 @@ def fdt_nll_dual(fmap_cfg, ns: int, params, feats, labels, lengths,
     if kernels.backend() == "pallas" and P <= 64:
         from asr_craft_tpu.kernels.fdt_pallas import fdt_nll_dual_pallas
         return fdt_nll_dual_pallas(fmap_cfg, ns, params, feats, labels,
-                                   lengths, clamp_ns, boundaries)
+                                   lengths, clamp_ns, boundaries,
+                                   grad_feats=grad_feats)
     state, selfp, advp, crossp = factored_planes(
         params, feats, Lp, ns, fmap_cfg.state_range, fmap_cfg.trans_range,
         fmap_cfg.use_state_bias, fmap_cfg.precision)
@@ -309,8 +315,10 @@ def fdt_viterbi(state, selfp, advp, crossp, lengths, ns: int,
         return new, bp
 
     ts = jnp.arange(1, T)
+    # init frame is pruned too — matching ops.viterbi, viterbi_pallas and
+    # the fdt kernel (symmetric-beam contract of models.crf.decode)
     final, bps = jax.lax.scan(
-        step, state_tm[0],
+        step, prune(state_tm[0]),
         (ts, state_tm[1:], self_tm[1:], adv_tm[1:], cross_tm[1:]))
     scores = jnp.max(final, axis=-1)
     last_lab = jnp.argmax(final, axis=-1).astype(jnp.int32)

@@ -312,7 +312,8 @@ def measure_vpu_geps(n_mb: int = 64, depth: int = 24,
     return 2.0 * depth * n * (iters - lo_iters) / dt / 1e9
 
 
-def measure_stream_bw(n_mb: int = 256, iters: int = 48) -> float:
+def measure_stream_bw(n_mb: int = 256, iters: int = 48,
+                      spec: ChipSpec = V5E) -> float | None:
     """Empirical streaming bandwidth (GB/s) on the default device: a jitted
     out-of-place saxpy (read N + write N bytes per call), chained so each
     call depends on the last, ended with a host scalar fetch (the reliable
@@ -320,7 +321,11 @@ def measure_stream_bw(n_mb: int = 256, iters: int = 48) -> float:
 
     The host fetch costs a constant ~tens of ms over the remote-TPU tunnel,
     which at saxpy speeds would swamp the measurement; timing two different
-    iteration counts and differencing cancels that constant."""
+    iteration counts and differencing cancels that constant.
+
+    Returns ``None`` when timing noise swamps the differencing (callers
+    fall back to the peak-BW denominator); otherwise the result is clamped
+    to ``spec.hbm_gbps`` — pass the ChipSpec of the device under test."""
     import jax
     import jax.numpy as jnp
 
@@ -354,4 +359,4 @@ def measure_stream_bw(n_mb: int = 256, iters: int = 48) -> float:
     bw = 2.0 * n * _F32 * (iters - iters // 4) / dt / 1e9
     # a not-meaningfully-positive dt can also report an absurd bandwidth;
     # anything above chip peak is noise, not measurement
-    return min(bw, V5E.hbm_gbps)
+    return min(bw, spec.hbm_gbps)

@@ -231,3 +231,70 @@ def test_fdt_viterbi_kernel_beam_threshold(rng):
             n = int(lengths[b])
             np.testing.assert_array_equal(np.asarray(pk)[b, :n],
                                           np.asarray(px)[b, :n])
+
+
+def test_fdt_viterbi_tight_threshold_prunes_init_symmetrically(rng):
+    """ADVICE r3: both backends must prune the INIT frame identically — a
+    sub-typical-margin threshold makes frame-0 pruning decisive."""
+    from asr_craft_tpu.kernels.fdt_pallas import fdt_viterbi_pallas
+
+    B, T, P, ns = 3, 10, 4, 3
+    cfg, params, feats, labels, lengths = _problem(rng, B, T, P, ns)
+    Wall, u0, u1, dims = build_wall(params, cfg, ns)
+    state, selfp, advp, crossp = fdt.factored_planes(
+        params, feats, cfg.num_expanded, ns, cfg.state_range,
+        cfg.trans_range)
+    for thr in (0.25, 0.75):
+        pk, sk = fdt_viterbi_pallas(
+            Wall, feats, lengths, beam_threshold=thr, u0=u0, u1=u1, ns=ns,
+            P=dims["P"], P8=dims["P8"], boundaries=True, interpret=True)
+        px, sx = fdt.fdt_viterbi(state, selfp, advp, crossp, lengths, ns,
+                                 True, beam_threshold=thr)
+        np.testing.assert_allclose(np.asarray(sk), np.asarray(sx),
+                                   rtol=1e-5, atol=1e-5, err_msg=str(thr))
+        for b in range(B):
+            n = int(lengths[b])
+            np.testing.assert_array_equal(np.asarray(pk)[b, :n],
+                                          np.asarray(px)[b, :n])
+
+
+@pytest.mark.parametrize("B,T,P,ns", [(2, 9, 4, 1), (3, 11, 5, 2),
+                                      (2, 13, 4, 3)])
+def test_grad_feats_matches_xla(rng, B, T, P, ns):
+    """grad_feats=True: the in-kernel Wall^T @ dplane feature cotangent ==
+    the XLA factored path's autodiff dfeats (ADVICE r3 medium)."""
+    cfg, params, feats, labels, lengths = _problem(rng, B, T, P, ns)
+
+    def loss_pl(f):
+        nll, zf, zc = fdt_nll_dual_pallas(cfg, ns, params, f, labels,
+                                          lengths, ns, True,
+                                          interpret=True, grad_feats=True)
+        return jnp.sum(nll * 2.0 + 0.25 * zf - 0.5 * zc)
+
+    def loss_xla(f):
+        state, selfp, advp, crossp = fdt.factored_planes(
+            params, f, cfg.num_expanded, ns, cfg.state_range,
+            cfg.trans_range)
+        zf, zc = fdt.fdt_logZ_pair(state, selfp, advp, crossp, labels,
+                                   lengths, ns, ns, True)
+        return jnp.sum((zf - zc) * 2.0 + 0.25 * zf - 0.5 * zc)
+
+    v1, g1 = jax.value_and_grad(loss_pl)(feats)
+    v2, g2 = jax.value_and_grad(loss_xla)(feats)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_grad_feats_default_is_stop_gradient(rng):
+    """Default grad_feats=False: dfeats is exactly zero by declared
+    stop_gradient contract (not silently-wrong numbers)."""
+    cfg, params, feats, labels, lengths = _problem(rng, 2, 9, 4, 3)
+
+    def loss(f):
+        nll, _, _ = fdt_nll_dual_pallas(cfg, 3, params, f, labels,
+                                        lengths, 3, True, interpret=True)
+        return jnp.sum(nll)
+
+    g = jax.grad(loss)(feats)
+    assert float(jnp.max(jnp.abs(g))) == 0.0

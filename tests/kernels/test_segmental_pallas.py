@@ -215,3 +215,32 @@ def test_segmental_viterbi_traceback_kernel(rng):
                                       np.asarray(s2)[b, :k], err_msg=f"{b}")
         np.testing.assert_array_equal(np.asarray(labels)[b, :k],
                                       np.asarray(l2)[b, :k], err_msg=f"{b}")
+
+
+def test_segmental_viterbi_zero_length_rows(rng):
+    """Length-0 rows (real, not loader-rewritten padding) must return
+    NEG_INF scores and empty segments, matching the XLA streaming path
+    (ADVICE r3: the unclipped lengths-1 gather indexed frame -1)."""
+    import jax.numpy as jnp
+    from asr_craft_tpu import kernels
+    from asr_craft_tpu.models.segmental import (SegCrfConfig,
+                                                _frame_scores_and_bias)
+    from asr_craft_tpu.ops.segmental_stream import seg_viterbi_stream
+    from asr_craft_tpu.ops.semiring import NEG_INF
+
+    cfg = SegCrfConfig(num_labels=5, feat_dim=6, max_dur=4)
+    params = cfg.init_params(jax.random.PRNGKey(12), scale=0.4)
+    feats = jnp.asarray(rng.normal(size=(3, 11, 6)), jnp.float32)
+    lengths = jnp.asarray([11, 0, 4], jnp.int32)
+    frame, bias = _frame_scores_and_bias(cfg, params, feats)
+    deltas, argd, lab0, scores = kernels.segmental_viterbi_pallas(
+        jnp.moveaxis(frame, 1, 0), params["b_trans"], bias, None, lengths,
+        cfg.max_dur, True, interpret=True)
+    s_ref, l_ref, n_ref, sc_ref = seg_viterbi_stream(
+        jnp.moveaxis(frame, 1, 0), bias, params["b_trans"], lengths,
+        cfg.max_dur)
+    assert float(scores[1]) <= NEG_INF * 0.5
+    np.testing.assert_allclose(np.asarray(scores)[[0, 2]],
+                               np.asarray(sc_ref)[[0, 2]],
+                               rtol=1e-5, atol=1e-5)
+    assert int(n_ref[1]) == 0
