@@ -67,11 +67,19 @@ _PREC = {"highest": jax.lax.Precision.HIGHEST,
 def _mm(a, b, prec, dims=None):
     """In-kernel matmul honoring the precision mode.
 
-    ``bf16x3``: manual split-float (a = hi + lo in bf16; 3 bf16 MXU passes
-    hi*hi + hi*lo + lo*hi, f32 accumulate) — XLA's F32_AS_BF16_3PASS
-    ("tensorfloat"-class, ~2^-16 relative error) at half the cost of the
-    6-pass HIGHEST emulation; Mosaic has no HIGH lowering in-kernel, so we
-    emulate it explicitly (VERDICT r2 next #7).
+    ``bf16x3``: manual split-float (a = hi + lo in bf16; the three bf16
+    MXU products hi*hi + hi*lo + lo*hi, f32 accumulate) — XLA's
+    F32_AS_BF16_3PASS ("tensorfloat"-class, ~2^-16 relative error) at half
+    the cost of the 6-pass HIGHEST emulation; Mosaic has no HIGH lowering
+    in-kernel, so we emulate it explicitly (VERDICT r2 next #7).
+
+    The two mixed terms ride ONE dot with the operands stacked along the
+    contraction axis ([a_hi | a_lo] @ [b_lo ; b_hi]) — same three products
+    and the same f32 accumulation, but 2 MXU launches instead of 3 and
+    ceil(2K/128) K-tiles instead of 2*ceil(K/128): at the flagship K=152
+    that is 5 K-tile passes instead of 6 (the K padding to the 128 MXU
+    tile is the formation matmul's entire efficiency gap — profiled at
+    100% of K-padded speed, runs/profile_fdt.py r4).
     """
     dims = dims or (((1,), (0,)), ((), ()))
     if prec != "bf16x3":
@@ -85,7 +93,11 @@ def _mm(a, b, prec, dims=None):
     b_lo = (b - b_hi.astype(jnp.float32)).astype(bf)
     d = functools.partial(jax.lax.dot_general, dimension_numbers=dims,
                           preferred_element_type=jnp.float32)
-    return d(a_hi, b_hi) + (d(a_hi, b_lo) + d(a_lo, b_hi))
+    ca = dims[0][0][0]
+    cb = dims[0][1][0]
+    a2 = jnp.concatenate([a_hi, a_lo], axis=ca)
+    b2 = jnp.concatenate([b_lo, b_hi], axis=cb)
+    return d(a_hi, b_hi) + d(a2, b2)
 
 
 def _up(x: int, m: int) -> int:
@@ -186,13 +198,27 @@ def _factored_alpha_update(alpha, self_k, adv_k, cross_k, *, ns, P8):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(ns, P, P8, clamp_ns, boundaries, prec, TB,
-                len_ref, xu_ref, lab_ref, Wall_ref,
-                alphas_ref, logz_ref, carry, plane):
+                len_ref, xu_ref, xun_ref, lab_ref, Wall_ref,
+                alphas_ref, logz_ref, carry, plane, plane_nxt):
     i = pl.program_id(0)
     LP = ns * P8
     Bk = lab_ref.shape[2]
 
-    plane[:] = _mm(Wall_ref[:], xu_ref[0], prec)
+    # Software-pipelined plane formation: this block's plane was formed
+    # during the PREVIOUS grid step (into plane_nxt); here we roll it into
+    # the working buffer and immediately issue block i+1's matmul, which
+    # has no data dependence on the frame recursion below — the MXU runs
+    # the next formation while the VPU walks this block's frames
+    # (runs/profile_fdt.py: formation was ~60% of the un-pipelined kernel).
+    @pl.when(i == 0)
+    def _():
+        plane[:] = _mm(Wall_ref[:], xu_ref[0], prec)
+
+    @pl.when(i > 0)
+    def _():
+        plane[:] = plane_nxt[:]
+
+    plane_nxt[:] = _mm(Wall_ref[:], xun_ref[0], prec)
 
     for k in range(TB):
         t = i * TB + k
@@ -241,13 +267,14 @@ def _fwd_kernel(ns, P, P8, clamp_ns, boundaries, prec, TB,
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(ns, P, P8, clamp_ns, boundaries, prec, TB, want_dfeats,
-                len_ref, zw_ref, xu_ref, lab_ref, alphas_ref, Wall_ref,
-                dW_ref, *rest):
+                len_ref, zw_ref, xu_ref, xun_ref, lab_ref, alphas_ref,
+                Wall_ref, dW_ref, *rest):
     if want_dfeats:
-        dxu_ref, dxe_ref, carry, plane, dplane, saved_plane, saved_lab, \
-            saved_xu = rest
+        dxu_ref, dxe_ref, carry, plane, plane_nxt, dplane, saved_plane, \
+            saved_lab, saved_xu = rest
     else:
-        carry, plane, dplane, saved_plane, saved_lab, saved_xu = rest
+        carry, plane, plane_nxt, dplane, saved_plane, saved_lab, \
+            saved_xu = rest
     i = pl.program_id(0)
     nb = pl.num_programs(0)
     base = (nb - 1 - i) * TB
@@ -269,8 +296,18 @@ def _bwd_kernel(ns, P, P8, clamp_ns, boundaries, prec, TB, want_dfeats,
         saved_xu[:] = jnp.zeros_like(saved_xu)
 
     # this block's planes (the previous grid step's frame-0 columns were
-    # saved before we overwrite)
-    plane[:] = _mm(Wall_ref[:], xu_ref[0], prec)
+    # saved before we overwrite) — software-pipelined like the forward:
+    # the copy consumes the formation issued LAST step; the next (earlier)
+    # block's matmul is issued now and overlaps this block's VPU work
+    @pl.when(i == 0)
+    def _():
+        plane[:] = _mm(Wall_ref[:], xu_ref[0], prec)
+
+    @pl.when(i > 0)
+    def _():
+        plane[:] = plane_nxt[:]
+
+    plane_nxt[:] = _mm(Wall_ref[:], xun_ref[0], prec)
 
     # slots never written below stay zero: trans rows of slot 0, state rows
     # of the extra slot TB
@@ -389,12 +426,13 @@ def _bwd_kernel(ns, P, P8, clamp_ns, boundaries, prec, TB, want_dfeats,
 
 def _prep_xu(feats, u0, u1, Bk, TB):
     """(B, T, D) -> (nb, Du8, TB*Bk) transposed feature blocks with the
-    constant-1 bias row at index (u1 - u0).  T pads to a multiple of 8 (the
-    lcm of the fwd/bwd time blocks, so the alphas residual lines up)."""
+    constant-1 bias row at index (u1 - u0).  T pads to a common multiple of
+    the fwd/bwd time blocks so the alphas residual lines up between the two
+    kernels (callers overriding ``tb`` must keep T a multiple of both)."""
     B, T, _ = feats.shape
     Du = u1 - u0
     Du8 = _up(Du + 1, _SUBLANE)
-    Tp = _up(T, max(TB, 8))
+    Tp = _up(T, max(TB, _TB_FWD, _TB_BWD, 8))
     x = feats[:, :, u0:u1]
     x = jnp.concatenate([x, jnp.ones((B, T, 1), feats.dtype)], axis=-1)
     x = jnp.pad(x, ((0, Bk - B), (0, Tp - T), (0, Du8 - Du - 1)))
@@ -419,10 +457,10 @@ def _prep_len(lengths, Bk):
 
 @functools.partial(jax.jit, static_argnames=(
     "u0", "u1", "ns", "P", "P8", "clamp_ns", "boundaries", "precision",
-    "interpret"))
+    "interpret", "tb"))
 def fdt_forward_pallas(Wall, feats, labels, lengths, *, u0, u1, ns, P, P8,
                        clamp_ns, boundaries, precision="highest",
-                       interpret=False):
+                       interpret=False, tb=None):
     """Dual-lattice forward over the factored frame-dependent lattice.
 
     ``Wall``: (R, Du8) stacked [state | self | adv | cross] weight rows with
@@ -431,7 +469,7 @@ def fdt_forward_pallas(Wall, feats, labels, lengths, *, u0, u1, ns, P, P8,
     """
     B, T, _ = feats.shape
     Bk = _up(B, _BMULT)
-    TB = _TB_FWD
+    TB = tb or _TB_FWD
     xu, Du8, Tp = _prep_xu(feats, u0, u1, Bk, TB)
     lab = _prep_lab(labels, Bk, Tp)
     len2 = _prep_len(lengths, Bk)
@@ -450,6 +488,11 @@ def fdt_forward_pallas(Wall, feats, labels, lengths, *, u0, u1, ns, P, P8,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Du8, TBK), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            # block i+1's features, for the pipelined formation (the last
+            # block re-forms itself; that spare matmul result is unused)
+            pl.BlockSpec((1, Du8, TBK),
+                         lambda i: (jnp.minimum(i + 1, nb - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, _SUBLANE, Bk), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((R, Du8), lambda i: (0, 0),
@@ -466,21 +509,22 @@ def fdt_forward_pallas(Wall, feats, labels, lengths, *, u0, u1, ns, P, P8,
             jax.ShapeDtypeStruct((_SUBLANE, 2 * Bk), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((LP, 2 * Bk), jnp.float32),
+                        pltpu.VMEM((R, TBK), jnp.float32),
                         pltpu.VMEM((R, TBK), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(len2, xu, lab, Wall)
+    )(len2, xu, xu, lab, Wall)
     return alphas, logz[0, 0:B], logz[0, Bk:Bk + B]
 
 
 @functools.partial(jax.jit, static_argnames=(
     "u0", "u1", "ns", "P", "P8", "clamp_ns", "boundaries", "precision",
-    "interpret", "want_dfeats"))
+    "interpret", "want_dfeats", "tb"))
 def fdt_backward_grad_pallas(Wall, feats, labels, lengths, alphas, zf, zc,
                              wf, wc, *, u0, u1, ns, P, P8, clamp_ns,
                              boundaries, precision="highest",
-                             interpret=False, want_dfeats=False):
+                             interpret=False, want_dfeats=False, tb=None):
     """Fused beta + complete weight gradient.  Returns dWall (R, Du8)
     (bias gradient in the last meaningful column); with ``want_dfeats``
     also the feature cotangent dfeats (B, T, D) (zeros outside the
@@ -488,7 +532,7 @@ def fdt_backward_grad_pallas(Wall, feats, labels, lengths, alphas, zf, zc,
     ``Wall^T @ dplane`` per block."""
     B, T, _ = feats.shape
     Bk = _up(B, _BMULT)
-    TB = _TB_BWD
+    TB = tb or _TB_BWD
     xu, Du8, Tp = _prep_xu(feats, u0, u1, Bk, TB)
     lab = _prep_lab(labels, Bk, Tp)
     len2 = _prep_len(lengths, Bk)
@@ -531,6 +575,10 @@ def fdt_backward_grad_pallas(Wall, feats, labels, lengths, alphas, zf, zc,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Du8, TBK), lambda i: (nb - 1 - i, 0, 0),
                          memory_space=pltpu.VMEM),
+            # the next (earlier) block's features for pipelined formation
+            pl.BlockSpec((1, Du8, TBK),
+                         lambda i: (jnp.maximum(nb - 2 - i, 0), 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, _SUBLANE, Bk), lambda i: (nb - 1 - i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, LP, 2 * Bk), lambda i: (nb - 1 - i, 0, 0),
@@ -543,6 +591,7 @@ def fdt_backward_grad_pallas(Wall, feats, labels, lengths, alphas, zf, zc,
         scratch_shapes=[
             pltpu.VMEM((LP, 2 * Bk), jnp.float32),          # beta carry
             pltpu.VMEM((R, TBK), jnp.float32),              # plane
+            pltpu.VMEM((R, TBK), jnp.float32),              # plane_nxt
             pltpu.VMEM((R, (TB + 1) * Bk), jnp.float32),    # dplane
             pltpu.VMEM((R, Bk), jnp.float32),               # saved plane
             pltpu.VMEM((_SUBLANE, Bk), jnp.int32),          # saved labels
@@ -551,7 +600,7 @@ def fdt_backward_grad_pallas(Wall, feats, labels, lengths, alphas, zf, zc,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(len2, zw, xu, lab, alphas, Wall)
+    )(len2, zw, xu, xu, lab, alphas, Wall)
     if not want_dfeats:
         return out[0]
     dW, dxu, dxe = out
@@ -717,14 +766,24 @@ def _vit_state_cols(state_k, t, len_ref, *, ns, P, P8, boundaries):
 
 
 def _fdt_vit_fwd_kernel(ns, P, P8, boundaries, prec, TB, thr,
-                        len_ref, xu_ref, Wall_ref,
-                        bp_ref, last_ref, score_ref, carry, plane):
+                        len_ref, xu_ref, xun_ref, Wall_ref,
+                        bp_ref, last_ref, score_ref, carry, plane,
+                        plane_nxt):
     i = pl.program_id(0)
     LP = ns * P8
     Bk = len_ref.shape[1]
     riota = jax.lax.broadcasted_iota(jnp.int32, (LP, Bk), 0)
 
-    plane[:] = _mm(Wall_ref[:], xu_ref[0], prec)
+    # pipelined formation (see _fwd_kernel)
+    @pl.when(i == 0)
+    def _():
+        plane[:] = _mm(Wall_ref[:], xu_ref[0], prec)
+
+    @pl.when(i > 0)
+    def _():
+        plane[:] = plane_nxt[:]
+
+    plane_nxt[:] = _mm(Wall_ref[:], xun_ref[0], prec)
 
     for k in range(TB):
         t = i * TB + k
@@ -863,6 +922,9 @@ def fdt_viterbi_pallas(Wall, feats, lengths, *, u0, u1, ns, P, P8,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Du8, TBK), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Du8, TBK),
+                         lambda i: (jnp.minimum(i + 1, nb - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((R, Du8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -880,11 +942,12 @@ def fdt_viterbi_pallas(Wall, feats, lengths, *, u0, u1, ns, P, P8,
             jax.ShapeDtypeStruct((_SUBLANE, Bk), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((LP, Bk), jnp.float32),
+                        pltpu.VMEM((R, TBK), jnp.float32),
                         pltpu.VMEM((R, TBK), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(len2, xu, Wall)
+    )(len2, xu, xu, Wall)
 
     [path_tm] = pl.pallas_call(
         functools.partial(_fdt_vit_bwd_kernel, TB),

@@ -43,7 +43,7 @@ import time
 
 __all__ = ["ChipSpec", "Phase", "V5E", "train_step_phases",
            "fdt_train_phases", "decode_phases", "fdt_decode_phases",
-           "summarize",
+           "scrf_train_phases", "scrf_decode_phases", "summarize",
            "measure_stream_bw", "measure_vpu_geps"]
 
 _LANE = 128
@@ -208,6 +208,62 @@ def fdt_decode_phases(B: int, T: int, L: int, D: int,
         Phase("fdt_prep", btd + xu + wall, 0.0),
         Phase("fdt_viterbi_forward", xu + wall + bp, form),
         Phase("fdt_traceback", bp + path, 0.0),
+    ]
+
+
+def scrf_train_phases(B: int, T: int, L: int, D: int,
+                      Dmax: int) -> list[Phase]:
+    """Traffic/FLOP/VPU model of one streaming SCRF train step
+    (kernels/segmental_pallas.py fwd + bwd + grad kernels; VERDICT r3
+    missing #4).  Counts follow the kernel bodies: each is a grid-(T,)
+    scan streaming one (Bp, Lp) row per step with a rolling (Dmax, Bp, Lp)
+    VMEM window; the duration message is one (Dmax*Bp, Lp) @ (Lp, Lp) MXU
+    product per frame (two in the grad kernel, which also contracts the
+    transition gradient in-kernel).  The serial per-frame dependency chain
+    is NOT modeled — the measured scrf decode_floor is the latency
+    companion (bench.py)."""
+    Bp, Lp = _up(B, _SUBLANE), _up(L, _LANE)
+    row = Bp * Lp * _F32                 # one streamed (B, L) frame row
+    win = Dmax * Bp * Lp                 # rolling-window element count
+    btd = B * T * D * _F32
+    tbl = T * B * L * _F32
+    mm = 2.0 * Dmax * Bp * Lp * Lp       # one duration-message MXU product
+
+    return [
+        # frame scores (feats @ W), cumulative-score prefix sum (read +
+        # write), transpose to time-major
+        Phase("scrf_prep", btd + 4 * tbl, 2.0 * B * T * D * L),
+        # alpha kernel: cum row in, alphas row out; per frame one MXU
+        # message product + ~12 elementwise passes over the window
+        Phase("scrf_forward", T * 2 * row, T * mm, T * 12.0 * win),
+        Phase("scrf_backward", T * 2 * row, T * mm, T * 13.0 * win),
+        # grad kernel: cum+alpha+beta rows in, A+S rows out; per frame the
+        # message product AND the U^T V transition contraction; ~16 passes
+        Phase("scrf_grad", T * 5 * row, T * 2 * mm, T * 16.0 * win),
+        # XLA-side gradient finish (A/S recombination into dcum, feature
+        # backward dW = feats^T @ dframe)
+        Phase("scrf_grad_finish", 4 * tbl + btd, 2.0 * B * T * D * L),
+    ]
+
+
+def scrf_decode_phases(B: int, T: int, L: int, D: int,
+                       Dmax: int) -> list[Phase]:
+    """Streaming segmental Viterbi (segmental_viterbi_pallas + the
+    deferred-resolution traceback kernel).  The forward is VPU max-plus
+    (no MXU): ~6 passes over the (Dmax, Bp, Lp) window plus the
+    (Bp, L, Lp) predecessor max-plus per frame; the traceback streams
+    delta/argd rows back."""
+    Bp, Lp = _up(B, _SUBLANE), _up(L, _LANE)
+    row = Bp * Lp * _F32
+    win = Dmax * Bp * Lp
+    btd = B * T * D * _F32
+    tbl = T * B * L * _F32
+    pred = Bp * L * Lp                   # dl x trans max-plus
+    return [
+        Phase("scrf_prep", btd + 4 * tbl, 2.0 * B * T * D * L),
+        Phase("scrf_viterbi_forward", T * 3 * row, 0.0,
+              T * (6.0 * win + 3.0 * pred)),
+        Phase("scrf_traceback", T * 3 * row, 0.0, T * 6.0 * Bp * Lp),
     ]
 
 
