@@ -95,9 +95,42 @@ def _mm(a, b, prec, dims=None):
                           preferred_element_type=jnp.float32)
     ca = dims[0][0][0]
     cb = dims[0][1][0]
-    a2 = jnp.concatenate([a_hi, a_lo], axis=ca)
-    b2 = jnp.concatenate([b_lo, b_hi], axis=cb)
-    return d(a_hi, b_hi) + d(a2, b2)
+    a3 = jnp.concatenate([a_hi, a_hi, a_lo], axis=ca)
+    b3 = jnp.concatenate([b_hi, b_lo, b_hi], axis=cb)
+    return d(a3, b3)
+
+
+def _split_hi_lo(x):
+    """f32 -> (hi, lo) bf16 split-float pair (x ~= hi + lo)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _tripled(hi, lo, axis):
+    """[hi, hi, lo] stacking along the contraction axis: one MXU dot of
+    ``_tripled(a) @ _tripled_rhs(b)`` computes the full bf16x3 sum
+    hi*hi + hi*lo + lo*hi with ceil(3K/128) K-tiles instead of the
+    2*ceil(K/128) + ceil(2K/128) of separate dots — at the flagship
+    K=152 that is 4 tiles instead of 5/6 (the MXU-pass floor,
+    runs/profile_fdt.py r4)."""
+    return jnp.concatenate([hi, hi, lo], axis=axis)
+
+
+def _tripled_rhs(hi, lo, axis):
+    return jnp.concatenate([hi, lo, hi], axis=axis)
+
+
+def _form(w, x, prec):
+    """Plane-formation matmul.  For bf16x3 the wrappers pass PRE-SPLIT
+    tripled operands (Wall3 (R, 3*Du8) bf16, xu3 (3*Du8, TBK) bf16 —
+    _tripled/_tripled_rhs built XLA-side), so the formation is a single
+    4-K-tile MXU dot with zero in-kernel conversion work; other precisions
+    get the plain f32 operands and _mm."""
+    if prec == "bf16x3":
+        return jax.lax.dot_general(w, x, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+    return _mm(w, x, prec)
 
 
 def _up(x: int, m: int) -> int:
@@ -212,13 +245,13 @@ def _fwd_kernel(ns, P, P8, clamp_ns, boundaries, prec, TB,
     # (runs/profile_fdt.py: formation was ~60% of the un-pipelined kernel).
     @pl.when(i == 0)
     def _():
-        plane[:] = _mm(Wall_ref[:], xu_ref[0], prec)
+        plane[:] = _form(Wall_ref[:], xu_ref[0], prec)
 
     @pl.when(i > 0)
     def _():
         plane[:] = plane_nxt[:]
 
-    plane_nxt[:] = _mm(Wall_ref[:], xun_ref[0], prec)
+    plane_nxt[:] = _form(Wall_ref[:], xun_ref[0], prec)
 
     for k in range(TB):
         t = i * TB + k
@@ -267,7 +300,7 @@ def _fwd_kernel(ns, P, P8, clamp_ns, boundaries, prec, TB,
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(ns, P, P8, clamp_ns, boundaries, prec, TB, want_dfeats,
-                len_ref, zw_ref, xu_ref, xun_ref, lab_ref, alphas_ref,
+                Du8, len_ref, zw_ref, xu_ref, xun_ref, lab_ref, alphas_ref,
                 Wall_ref, dW_ref, *rest):
     if want_dfeats:
         dxu_ref, dxe_ref, carry, plane, plane_nxt, dplane, saved_plane, \
@@ -301,13 +334,13 @@ def _bwd_kernel(ns, P, P8, clamp_ns, boundaries, prec, TB, want_dfeats,
     # block's matmul is issued now and overlaps this block's VPU work
     @pl.when(i == 0)
     def _():
-        plane[:] = _mm(Wall_ref[:], xu_ref[0], prec)
+        plane[:] = _form(Wall_ref[:], xu_ref[0], prec)
 
     @pl.when(i > 0)
     def _():
         plane[:] = plane_nxt[:]
 
-    plane_nxt[:] = _mm(Wall_ref[:], xun_ref[0], prec)
+    plane_nxt[:] = _form(Wall_ref[:], xun_ref[0], prec)
 
     # slots never written below stay zero: trans rows of slot 0, state rows
     # of the extra slot TB
@@ -401,9 +434,25 @@ def _bwd_kernel(ns, P, P8, clamp_ns, boundaries, prec, TB, want_dfeats,
         dplane[0:LP, sl] = gamma[:, 0:Bk] + gamma[:, Bk:]
 
     # ---- per-block weight-gradient contraction (MXU) --------------------
+    # bf16x3: xu_ref holds the tripled [hi; lo; hi] rows — slice the hi/lo
+    # planes back out and run ONE tripled-K dot per slot group (12 K-tiles
+    # at TB=4 instead of 15; see _tripled)
     cdims = (((1,), (1,)), ((), ()))
-    dW_ref[:] += _mm(dplane[:, 0:TBK], xu_ref[0], prec, cdims)
-    dW_ref[:] += _mm(dplane[:, TBK:], saved_xu[:, 0:Bk], prec, cdims)
+    if prec == "bf16x3":
+        xh, xl = xu_ref[0, 0:Du8], xu_ref[0, Du8:2 * Du8]
+
+        def contract(dp, bh, bl):
+            dh, dl = _split_hi_lo(dp)
+            return jax.lax.dot_general(
+                _tripled(dh, dl, 1), _tripled_rhs(bh, bl, 1), cdims,
+                preferred_element_type=jnp.float32)
+
+        dW_ref[:] += contract(dplane[:, 0:TBK], xh, xl)
+        dW_ref[:] += contract(dplane[:, TBK:], saved_xu[0:Du8, 0:Bk],
+                              saved_xu[Du8:2 * Du8, 0:Bk])
+    else:
+        dW_ref[:] += _mm(dplane[:, 0:TBK], xu_ref[0], prec, cdims)
+        dW_ref[:] += _mm(dplane[:, TBK:], saved_xu[:, 0:Bk], prec, cdims)
 
     if want_dfeats:
         # feature cotangent: plane = Wall @ xu, so dxu = Wall^T @ dplane.
@@ -411,8 +460,21 @@ def _bwd_kernel(ns, P, P8, clamp_ns, boundaries, prec, TB, want_dfeats,
         # 0, whose xu is saved_xu) — emitted separately, folded in by the
         # wrapper (ADVICE r3 medium: the zero dfeats was a silent contract).
         rdims = (((0,), (0,)), ((), ()))
-        dxu_ref[0] = _mm(Wall_ref[:], dplane[:, 0:TBK], prec, rdims)
-        dxe_ref[0] = _mm(Wall_ref[:], dplane[:, TBK:], prec, rdims)
+        if prec == "bf16x3":
+            W_hi = Wall_ref[:, 0:Du8]
+            W_lo = Wall_ref[:, 2 * Du8:3 * Du8]
+
+            def dx(dp):
+                dh, dl = _split_hi_lo(dp)
+                return jax.lax.dot_general(
+                    _tripled(W_hi, W_lo, 0), _tripled_rhs(dh, dl, 0),
+                    rdims, preferred_element_type=jnp.float32)
+
+            dxu_ref[0] = dx(dplane[:, 0:TBK])
+            dxe_ref[0] = dx(dplane[:, TBK:])
+        else:
+            dxu_ref[0] = _mm(Wall_ref[:], dplane[:, 0:TBK], prec, rdims)
+            dxe_ref[0] = _mm(Wall_ref[:], dplane[:, TBK:], prec, rdims)
 
     # save this block's frame-0 columns for the next (earlier) grid step
     saved_plane[:] = plane[:, 0:Bk]
@@ -478,6 +540,12 @@ def fdt_forward_pallas(Wall, feats, labels, lengths, *, u0, u1, ns, P, P8,
     nb = Tp // TB
     prec = _PREC[precision]
     TBK = TB * Bk
+    if precision == "bf16x3":
+        # pre-split tripled operands: one 4-K-tile formation dot, no
+        # in-kernel conversions (see _form)
+        Wall = _tripled(*_split_hi_lo(Wall), axis=1)
+        xu = _tripled_rhs(*_split_hi_lo(xu), axis=1)
+    Dw = Wall.shape[1]
 
     alphas, logz = pl.pallas_call(
         functools.partial(_fwd_kernel, ns, P, P8, clamp_ns, boundaries,
@@ -486,16 +554,16 @@ def fdt_forward_pallas(Wall, feats, labels, lengths, *, u0, u1, ns, P, P8,
         in_specs=[
             pl.BlockSpec((_SUBLANE, 2 * Bk), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Du8, TBK), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, Dw, TBK), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             # block i+1's features, for the pipelined formation (the last
             # block re-forms itself; that spare matmul result is unused)
-            pl.BlockSpec((1, Du8, TBK),
+            pl.BlockSpec((1, Dw, TBK),
                          lambda i: (jnp.minimum(i + 1, nb - 1), 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, _SUBLANE, Bk), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, Du8), lambda i: (0, 0),
+            pl.BlockSpec((R, Dw), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -541,6 +609,11 @@ def fdt_backward_grad_pallas(Wall, feats, labels, lengths, alphas, zf, zc,
     nb = Tp // TB
     prec = _PREC[precision]
     TBK = TB * Bk
+    if precision == "bf16x3":
+        Wall = _tripled(*_split_hi_lo(Wall), axis=1)
+        xu = _tripled_rhs(*_split_hi_lo(xu), axis=1)
+    Dw = Wall.shape[1]
+    xdt = xu.dtype
 
     pad_b = (0, Bk - B)
     z2 = jnp.concatenate([jnp.pad(zf, pad_b), jnp.pad(zc, pad_b)])
@@ -566,24 +639,24 @@ def fdt_backward_grad_pallas(Wall, feats, labels, lengths, alphas, zf, zc,
 
     out = pl.pallas_call(
         functools.partial(_bwd_kernel, ns, P, P8, clamp_ns, boundaries,
-                          prec, TB, want_dfeats),
+                          prec, TB, want_dfeats, Du8),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((_SUBLANE, 2 * Bk), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, _SUBLANE, 2 * Bk), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Du8, TBK), lambda i: (nb - 1 - i, 0, 0),
+            pl.BlockSpec((1, Dw, TBK), lambda i: (nb - 1 - i, 0, 0),
                          memory_space=pltpu.VMEM),
             # the next (earlier) block's features for pipelined formation
-            pl.BlockSpec((1, Du8, TBK),
+            pl.BlockSpec((1, Dw, TBK),
                          lambda i: (jnp.maximum(nb - 2 - i, 0), 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, _SUBLANE, Bk), lambda i: (nb - 1 - i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, LP, 2 * Bk), lambda i: (nb - 1 - i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, Du8), lambda i: (0, 0),
+            pl.BlockSpec((R, Dw), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
@@ -595,7 +668,7 @@ def fdt_backward_grad_pallas(Wall, feats, labels, lengths, alphas, zf, zc,
             pltpu.VMEM((R, (TB + 1) * Bk), jnp.float32),    # dplane
             pltpu.VMEM((R, Bk), jnp.float32),               # saved plane
             pltpu.VMEM((_SUBLANE, Bk), jnp.int32),          # saved labels
-            pltpu.VMEM((Du8, Bk), jnp.float32),             # saved xu
+            pltpu.VMEM((Dw, Bk), xdt),                      # saved xu
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
@@ -766,24 +839,17 @@ def _vit_state_cols(state_k, t, len_ref, *, ns, P, P8, boundaries):
 
 
 def _fdt_vit_fwd_kernel(ns, P, P8, boundaries, prec, TB, thr,
-                        len_ref, xu_ref, xun_ref, Wall_ref,
-                        bp_ref, last_ref, score_ref, carry, plane,
-                        plane_nxt):
+                        len_ref, xu_ref, Wall_ref,
+                        bp_ref, last_ref, score_ref, carry, plane):
     i = pl.program_id(0)
     LP = ns * P8
     Bk = len_ref.shape[1]
     riota = jax.lax.broadcasted_iota(jnp.int32, (LP, Bk), 0)
 
-    # pipelined formation (see _fwd_kernel)
-    @pl.when(i == 0)
-    def _():
-        plane[:] = _mm(Wall_ref[:], xu_ref[0], prec)
-
-    @pl.when(i > 0)
-    def _():
-        plane[:] = plane_nxt[:]
-
-    plane_nxt[:] = _mm(Wall_ref[:], xun_ref[0], prec)
+    # direct formation (single tripled-K dot): the Viterbi VPU work per
+    # block is too small to hide a pipelined matmul behind — the fwd-style
+    # roll-copy pipeline measured 2.9 -> 3.4 ms at decode batch (r4)
+    plane[:] = _form(Wall_ref[:], xu_ref[0], prec)
 
     for k in range(TB):
         t = i * TB + k
@@ -909,6 +975,10 @@ def fdt_viterbi_pallas(Wall, feats, lengths, *, u0, u1, ns, P, P8,
     nb = Tp // TB
     prec = _PREC[precision]
     TBK = TB * Bk
+    if precision == "bf16x3":
+        Wall = _tripled(*_split_hi_lo(Wall), axis=1)
+        xu = _tripled_rhs(*_split_hi_lo(xu), axis=1)
+    Dw = Wall.shape[1]
     len1 = jnp.pad(lengths.astype(jnp.int32), (0, Bk - B),
                    constant_values=0)
     len2 = jnp.broadcast_to(len1[None, :], (_SUBLANE, Bk))
@@ -920,12 +990,9 @@ def fdt_viterbi_pallas(Wall, feats, lengths, *, u0, u1, ns, P, P8,
         in_specs=[
             pl.BlockSpec((_SUBLANE, Bk), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Du8, TBK), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, Dw, TBK), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Du8, TBK),
-                         lambda i: (jnp.minimum(i + 1, nb - 1), 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, Du8), lambda i: (0, 0),
+            pl.BlockSpec((R, Dw), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -942,12 +1009,11 @@ def fdt_viterbi_pallas(Wall, feats, lengths, *, u0, u1, ns, P, P8,
             jax.ShapeDtypeStruct((_SUBLANE, Bk), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((LP, Bk), jnp.float32),
-                        pltpu.VMEM((R, TBK), jnp.float32),
                         pltpu.VMEM((R, TBK), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(len2, xu, xu, Wall)
+    )(len2, xu, Wall)
 
     [path_tm] = pl.pallas_call(
         functools.partial(_fdt_vit_bwd_kernel, TB),

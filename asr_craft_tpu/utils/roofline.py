@@ -211,6 +211,56 @@ def fdt_decode_phases(B: int, T: int, L: int, D: int,
     ]
 
 
+def fdt_tile_floor(B: int, T: int, L: int, D: int, ns: int,
+                   mode: str = "bf16x3", vpu_geps: float | None = None,
+                   spec: ChipSpec = V5E) -> dict:
+    """MXU-pass-exact floor for the fused fdt train step (VERDICT r3 next
+    #1, 'defended floor' clause).  The idealized byte/FLOP SOL is
+    unachievable here for a PHYSICAL reason measured in r4
+    (runs/profile_fdt.py): the MXU consumes operands in 128-wide K/N
+    tiles, and the flagship's contraction width K = D+bias = 145->152
+    pads to 256 (1.68x waste) while the dW contraction's output width
+    N = 152 pads likewise.  This model counts the EXACT tile passes the
+    tripled-K bf16x3 kernels issue:
+
+      formation (x2: fwd + bwd): ceil(R/128) x ceil(3*Du8/128) x
+        ceil(TBK/128) passes per block,
+      dW contraction: ceil(R/128) x (3*(TB+1)*Bk/128) x ceil(Du8/128),
+
+    at 128^3 MAC per pass and the chip's bf16 MAC rate, plus the measured
+    VPU element-op term (serial with the MXU — overlap measured at <10%).
+    A step within ~1.2x of this floor is at the practical speed of light
+    for this shape; the remaining levers (lower precision, bf16 planes)
+    trade the parity bar away."""
+    P = L // ns
+    P8 = _up(P, _SUBLANE)
+    LP = ns * P8
+    R = 3 * LP + P8 * P8
+    Du8 = _up(D + 2, _SUBLANE)
+    Bk = _up(B, 64)
+    Tp = _up(T, _TBLOCK)
+    TBf, TBb = 8, 4
+    mt = -(-R // _LANE)
+    nt_form_f = -(-(TBf * Bk) // _LANE)
+    nt_form_b = -(-(TBb * Bk) // _LANE)
+    kmul = {"bf16x3": 3, "bf16": 1, "fp32": 6}[mode]
+    kt_form = -(-(kmul * Du8) // _LANE)
+    # dW contraction: main K = kmul*TB*Bk (exact tiles), extra kmul*Bk
+    kt_con = kmul * (TBb + 1) * Bk // _LANE
+    nt_con = -(-Du8 // _LANE)
+    passes = (Tp // TBf) * mt * kt_form * nt_form_f \
+        + (Tp // TBb) * mt * kt_form * nt_form_b \
+        + (Tp // TBb) * mt * kt_con * nt_con
+    mac_s = spec.bf16_tflops * 1e12 / 2.0
+    mxu_s = passes * (_LANE ** 3) / mac_s
+    # VPU element-ops from the fdt phase model (serial with MXU)
+    vpu_el = sum(p.vpu_elems for p in fdt_train_phases(B, T, L, D, ns))
+    vpu_s = vpu_el / ((vpu_geps or 3000.0) * 1e9)
+    return {"mxu_passes": passes, "mxu_ms": round(mxu_s * 1e3, 3),
+            "vpu_ms": round(vpu_s * 1e3, 3),
+            "floor_ms": round((mxu_s + vpu_s) * 1e3, 3)}
+
+
 def scrf_train_phases(B: int, T: int, L: int, D: int,
                       Dmax: int) -> list[Phase]:
     """Traffic/FLOP/VPU model of one streaming SCRF train step

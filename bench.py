@@ -238,7 +238,7 @@ def bench_scrf(steps=9):
             lambda p: scrf_loss_fused(cfg, p, feats, labels,
                                       lengths)[0])(params)
         u, opt_state = opt.update(g, opt_state)
-        return (optax.apply_updates(params, u), opt_state, loss,
+        return (optax.apply_updates(params, u), opt_state,
                 feats + 0 * loss)
 
     def slope(fn, state, k=steps):
@@ -269,7 +269,11 @@ def bench_scrf(steps=9):
     @jax.jit
     def dec(feats):
         starts, labs, n, scores = scrf_decode(cfg, params, feats, lengths)
-        return feats + 0.0 * scores[:, None, None]
+        # chain on ALL outputs — n/starts/labs force the traceback +
+        # marker packing (chaining on scores alone lets XLA DCE them)
+        force = (scores + jnp.sum(starts[:, :1] + labs[:, :1], axis=-1)
+                 + n).astype(jnp.float32)
+        return feats + 0.0 * force[:, None, None]
 
     dec_dt = slope(dec, feats0)
 
@@ -282,7 +286,9 @@ def bench_scrf(steps=9):
         @jax.jit
         def dx(feats, lx=lx):
             s, l, n, sc = scrf_decode(cfg, params, feats, lx)
-            return feats + 0.0 * sc[:, None, None]
+            force = (sc + jnp.sum(s[:, :1] + l[:, :1], axis=-1)
+                     + n).astype(jnp.float32)
+            return feats + 0.0 * force[:, None, None]
 
         times[Tx] = slope(dx, fx)
     ts = np.asarray(list(times), np.float64)
@@ -337,6 +343,14 @@ def bench_roofline(train_dt, decode_dt):
     train = rl.summarize(train_ph, train_dt, measured_bw_gbps=bw,
                          mode=mode, vpu_geps=vpu)
     dec = rl.summarize(dec_ph, decode_dt, measured_bw_gbps=bw)
+    if cfg.fmap.frame_dependent_trans:
+        # MXU-pass-exact defended floor (r4): the idealized SOL is capped
+        # by 128-wide K/N tile padding; this is the achievable bound
+        floor = rl.fdt_tile_floor(B, T, L, D, cfg.num_states, mode=mode,
+                                  vpu_geps=vpu)
+        train["tile_floor"] = floor
+        train["pct_of_tile_floor"] = round(
+            100.0 * floor["floor_ms"] / (train_dt * 1e3), 1)
     return train, dec
 
 
