@@ -71,6 +71,9 @@ def build_parser() -> argparse.ArgumentParser:
                    "('key w1 w2 ...' lines) for WER scoring")
     p.add_argument("--out_lattice_dir",
                    help="write per-utterance lattices as FST text files")
+    p.add_argument("--otf_dynamic", action="store_true",
+                   help="fully dynamic lexicon/LM composition (no search "
+                   "graph built; WSJ-scale lexicons + pruned backoff LMs)")
     p.add_argument("--otf", action="store_true",
                    help="on-the-fly FST-composed beam Viterbi (no lattice "
                    "materialization; reference CRF_ViterbiDecoder mode) — "
@@ -201,12 +204,15 @@ def _word_decode(args, cfg, params, loader, names, logger) -> int:
     lexicon, words = F.read_lexicon(args.lexicon, phone_index)
     lm = F.read_fst_text(args.lm) if args.lm else None
 
-    otf_graph = None
-    if args.otf:
-        from asr_craft_tpu.decode.otf import build_search_graph
+    otf_graph = lex_fst = None
+    if args.otf or args.otf_dynamic:
         if args.nbest > 1:
             raise SystemExit("--otf does not support --nbest; use the "
                              "offline lattice path for n-best")
+    if args.otf_dynamic:
+        lex_fst = F.lexicon_fst(lexicon, words)
+    elif args.otf:
+        from asr_craft_tpu.decode.otf import build_search_graph
         otf_graph = build_search_graph(lexicon, words, lm=lm,
                                        lm_weight=args.lm_weight,
                                        backend=args.fst_backend)
@@ -251,7 +257,17 @@ def _word_decode(args, cfg, params, loader, names, logger) -> int:
                 F.write_fst_text(
                     lat, os.path.join(args.out_lattice_dir, f"{key}.fst.txt"))
             try:
-                if otf_graph is not None:
+                if lex_fst is not None:
+                    from asr_craft_tpu.decode.otf import \
+                        otf_decode_words_dynamic
+                    wseq, _, _ = otf_decode_words_dynamic(
+                        state[r], tr, n, lex_fst, words, lm=lm,
+                        lm_weight=args.lm_weight,
+                        num_states=cfg.num_states,
+                        beam_threshold=args.beam_threshold,
+                        max_active=args.max_active,
+                        backend=args.fst_backend)
+                elif otf_graph is not None:
                     from asr_craft_tpu.decode.otf import otf_decode_words
                     wseq, _, _ = otf_decode_words(
                         state[r], tr, n, otf_graph, words,

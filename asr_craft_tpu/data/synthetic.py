@@ -91,6 +91,13 @@ class WordCorpusConfig:
     min_dur: int = 2
     noise: float = 0.3
     seed: int = 0
+    # WSJ-scale mode: a SHARED phone inventory of this size (0 keeps the
+    # legacy disjoint-inventory corpus).  Words get distinct random
+    # pronunciations over the shared phones — acoustically confusable
+    # (shared prefixes, near-homophones), which is what makes a 5k-word
+    # lexicon + LM decode a real search problem rather than a lookup.
+    shared_phones: int = 0
+    zipf_a: float = 0.0           # >0: Zipf word-frequency skew
 
 
 def generate_word_corpus(cfg: WordCorpusConfig, num_utts: int):
@@ -99,19 +106,41 @@ def generate_word_corpus(cfg: WordCorpusConfig, num_utts: int):
     features are noisy one-hot phone posteriors (feat_dim = num phones)."""
     rng = np.random.default_rng(cfg.seed)
     lexicon, words = {}, []
-    next_ph = 0
-    for w in range(cfg.num_words):
-        k = int(rng.integers(cfg.min_pron, cfg.max_pron + 1))
-        word = f"w{w:02d}"
-        lexicon[word] = list(range(next_ph, next_ph + k))
-        words.append(word)
-        next_ph += k
-    num_phones = next_ph
+    if cfg.shared_phones:
+        num_phones = cfg.shared_phones
+        seen_prons = set()
+        for w in range(cfg.num_words):
+            while True:
+                k = int(rng.integers(cfg.min_pron, cfg.max_pron + 1))
+                pron = tuple(int(p) for p in
+                             rng.integers(0, num_phones, size=k))
+                if pron not in seen_prons:
+                    seen_prons.add(pron)
+                    break
+            word = f"w{w:05d}"
+            lexicon[word] = list(pron)
+            words.append(word)
+    else:
+        next_ph = 0
+        for w in range(cfg.num_words):
+            k = int(rng.integers(cfg.min_pron, cfg.max_pron + 1))
+            word = f"w{w:02d}"
+            lexicon[word] = list(range(next_ph, next_ph + k))
+            words.append(word)
+            next_ph += k
+        num_phones = next_ph
+
+    if cfg.zipf_a > 0:
+        pw = 1.0 / np.arange(1, cfg.num_words + 1) ** cfg.zipf_a
+        pw /= pw.sum()
+    else:
+        pw = np.full(cfg.num_words, 1.0 / cfg.num_words)
 
     feats, frame_labels, word_seqs = [], [], []
     for _ in range(num_utts):
         nw = int(rng.integers(cfg.min_words, cfg.max_words + 1))
-        wseq = [words[int(rng.integers(cfg.num_words))] for _ in range(nw)]
+        wseq = [words[int(i)] for i in
+                rng.choice(cfg.num_words, size=nw, p=pw)]
         phones = [p for w in wseq for p in lexicon[w]]
         durs = rng.poisson(cfg.mean_dur - cfg.min_dur,
                            size=len(phones)) + cfg.min_dur

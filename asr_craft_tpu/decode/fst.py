@@ -201,6 +201,151 @@ def bigram_lm_fst(num_words: int, logp: np.ndarray,
     return Fst.from_arcs(num_words + 1, 0, arcs, finals)
 
 
+def backoff_bigram_lm_fst(num_words: int, bigrams, logp_uni,
+                          alpha, logp_final, logp_init=None) -> Fst:
+    """Katz/interpolated-style PRUNED backoff bigram acceptor.
+
+    The dense :func:`bigram_lm_fst` needs W^2 arcs — 25M at a 5k-word WSJ
+    vocabulary.  This builder keeps only SEEN bigrams plus a shared
+    backoff state: each history state carries an input-EPSILON arc
+    (ilabel 0) of weight ``-log alpha(u)`` to the backoff state, whose W
+    unigram arcs cover every unseen continuation.  Arc count is
+    O(num seen bigrams + 2W) — the standard ARPA-style FST approximation
+    (the tropical decoder takes max over the explicit-vs-backoff paths).
+
+    ``bigrams``: dict (u, w) -> log p(w|u) with u in {-1 (<s>), 0..W-1};
+    ``alpha``: dict u -> backoff log-weight; ``logp_uni[w]``; ``logp_final
+    [u]`` = log p(</s>|u) over u in {-1, 0..W-1}.  States: 0 = <s>,
+    1..W = histories, W+1 = backoff.  Consumers must be epsilon-aware:
+    :func:`eps_closure` (the OTF decoders are); :func:`compose` rejects
+    input-epsilon B — small vocabularies can densify with
+    :func:`remove_input_epsilons` first.
+    """
+    BO = num_words + 1
+    arcs = []
+    st = lambda u: 0 if u == -1 else u + 1
+    for (u, w), lp in bigrams.items():
+        arcs.append((st(u), w + 1, w + 1, w + 1, -float(lp)))
+    for u in set([-1] + list(range(num_words))):
+        a = alpha.get(u, 0.0)
+        arcs.append((st(u), BO, 0, 0, -float(a)))
+    for w in range(num_words):
+        arcs.append((BO, w + 1, w + 1, w + 1, -float(logp_uni[w])))
+    finals = {st(u): -float(lp) for u, lp in logp_final.items()}
+    return Fst.from_arcs(num_words + 2, 0, arcs, finals)
+
+
+def estimate_backoff_bigram(word_seqs, words, discount: float = 0.5
+                            ) -> Fst:
+    """Absolute-discounting backoff bigram estimated from transcripts,
+    returned as a pruned :func:`backoff_bigram_lm_fst` (arc count O(seen
+    bigrams + 2W) — the scalable form for WSJ-size vocabularies; the
+    reference consumes externally-built LM FSTs, this is the built-in
+    estimator for recipes/tests).
+
+    p(w|u) = max(c(u,w) - d, 0)/c(u) for seen, alpha(u) * p_uni(w) backoff
+    with alpha(u) = d * |successors(u)| / c(u); <s> is history -1 and
+    </s> is modeled by the final weights.
+    """
+    widx = {w: i for i, w in enumerate(words)}
+    W = len(words)
+    cnt: Dict[Tuple[int, int], int] = {}
+    hist = {-1: 0}
+    uni = np.ones(W)                      # add-1 unigram
+    for ws in word_seqs:
+        prev = -1
+        for w in ws:
+            i = widx[w]
+            cnt[(prev, i)] = cnt.get((prev, i), 0) + 1
+            hist[prev] = hist.get(prev, 0) + 1
+            uni[i] += 1
+            prev = i
+        cnt[(prev, -2)] = cnt.get((prev, -2), 0) + 1   # </s>
+        hist[prev] = hist.get(prev, 0) + 1
+    logp_uni = np.log(uni / uni.sum())
+    bigrams = {}
+    nsucc: Dict[int, int] = {}
+    for (u, w), c in cnt.items():
+        nsucc[u] = nsucc.get(u, 0) + 1
+        if w >= 0:
+            bigrams[(u, w)] = np.log(max(c - discount, 0.25 * discount)
+                                     / hist[u])
+    alpha = {}
+    for u in range(-1, W):
+        h = hist.get(u, 0)
+        if h == 0:
+            alpha[u] = 0.0                # unseen history: pure backoff
+        else:
+            alpha[u] = float(np.log(max(
+                discount * nsucc.get(u, 1) / h, 1e-6)))
+    # final (</s>) weights: discounted where seen, floor elsewhere
+    logp_final = {}
+    for u in range(-1, W):
+        c = cnt.get((u, -2), 0)
+        h = hist.get(u, 0)
+        logp_final[u] = float(np.log(max(c - discount, 0.25 * discount)
+                                     / h)) if h else float(np.log(0.1))
+    return backoff_bigram_lm_fst(W, bigrams, logp_uni, alpha, logp_final)
+
+
+def eps_closure(f: Fst):
+    """Per-state input-epsilon closure: state -> list of (state', weight')
+    pairs (self included at 0) reachable via ilabel-0 arcs, min-weight
+    (Dijkstra over the epsilon subgraph; cycle-safe).  Used by the OTF
+    decoders to consume backoff-LM epsilons on the fly."""
+    import heapq as hq
+    eps: Dict[int, List[Tuple[int, float]]] = {}
+    for j in range(f.num_arcs):
+        if f.ilabel[j] == 0:
+            eps.setdefault(int(f.src[j]), []).append(
+                (int(f.dst[j]), float(f.weight[j])))
+    out: Dict[int, List[Tuple[int, float]]] = {}
+    for s in range(f.num_states):
+        best = {s: 0.0}
+        heap = [(0.0, s)]
+        while heap:
+            w, u = hq.heappop(heap)
+            if w > best.get(u, np.inf):
+                continue
+            for v, aw in eps.get(u, ()):
+                nw = w + aw
+                if nw < best.get(v, np.inf):
+                    best[v] = nw
+                    hq.heappush(heap, (nw, v))
+        out[s] = sorted(best.items(), key=lambda kv: kv[1])
+    return out
+
+
+def remove_input_epsilons(f: Fst) -> Fst:
+    """Epsilon-remove (input side, tropical): replace each state's arcs by
+    the closure-expanded arc set and closure-min finals.  Densifies — use
+    only for small graphs (e.g. to feed :func:`compose`, which requires an
+    input-epsilon-free B)."""
+    clos = eps_closure(f)
+    by_src: Dict[int, List[int]] = {}
+    for j in range(f.num_arcs):
+        if f.ilabel[j] != 0:
+            by_src.setdefault(int(f.src[j]), []).append(j)
+    arcs = []
+    finals: Dict[int, float] = {}
+    for s in range(f.num_states):
+        best: Dict[Tuple[int, int, int], float] = {}
+        fbest = np.inf
+        for s2, w2 in clos[s]:
+            if np.isfinite(f.final[s2]):
+                fbest = min(fbest, w2 + float(f.final[s2]))
+            for j in by_src.get(s2, ()):
+                key = (int(f.dst[j]), int(f.ilabel[j]), int(f.olabel[j]))
+                w = w2 + float(f.weight[j])
+                if w < best.get(key, np.inf):
+                    best[key] = w
+        for (d, il, ol), w in best.items():
+            arcs.append((s, d, il, ol, w))
+        if np.isfinite(fbest):
+            finals[s] = float(fbest)
+    return Fst.from_arcs(f.num_states, f.start, arcs, finals)
+
+
 def compose(a: Fst, b: Fst) -> Fst:
     """Composition A o B matching ``a.olabel == b.ilabel``.
 

@@ -65,6 +65,12 @@ def _load():
         I, I, dp, dp, I, I,
         I, I, I, ip, ip, ip, ip, fp, fp,
         D, I, I, ip, ctypes.POINTER(I), ip, ctypes.POINTER(D)]
+    lib.craft_otf_decode_dynamic.restype = I
+    lib.craft_otf_decode_dynamic.argtypes = [
+        I, I, dp, dp, I, I,
+        I, I, I, ip, ip, ip, ip, fp, fp,
+        I, I, I, ip, ip, ip, ip, fp, fp, D,
+        D, I, I, ip, ctypes.POINTER(I), ip, ctypes.POINTER(D)]
     _lib = lib
     return _lib
 
@@ -157,5 +163,51 @@ def otf_decode(log_phi_state, log_phi_trans, length, graph, words,
                          "narrow or lexicon cannot cover the utterance)")
     if rc != 0:
         raise RuntimeError(f"otf_decode: native error {rc}")
+    return ([words[w - 1] for w in out_words[:nw.value]],
+            out_path.tolist(), float(wgt.value))
+
+
+def otf_decode_dynamic(log_phi_state, log_phi_trans, length, lex, words,
+                       lm=None, lm_weight=1.0, num_states=1,
+                       beam_threshold=None, max_active=None
+                       ) -> Tuple[List[str], List[int], float]:
+    """ctypes wrapper for craft_otf_decode_dynamic (fully dynamic
+    lexicon/LM composition — see decode.otf.otf_decode_words_dynamic)."""
+    import ctypes
+
+    lib = _load()
+    state = np.ascontiguousarray(
+        np.asarray(log_phi_state, np.float64)[:int(length)])
+    trans = np.ascontiguousarray(np.asarray(log_phi_trans, np.float64))
+    T, L = state.shape
+    fdep = 1 if trans.ndim == 3 else 0
+    zero_i = np.zeros(0, np.int32)
+    zero_f = np.zeros(0, np.float32)
+    max_words = T + 1
+    out_words = np.empty(max_words, np.int32)
+    out_path = np.empty(T, np.int32)
+    nw = ctypes.c_int32()
+    wgt = ctypes.c_double()
+    lm_args = ((lm.num_states, lm.start, lm.num_arcs, _i32(lm.src),
+                _i32(lm.dst), _i32(lm.ilabel), _i32(lm.olabel),
+                _f32(lm.weight), _f32(lm.final))
+               if lm is not None else
+               (0, 0, 0, zero_i, zero_i, zero_i, zero_i, zero_f, zero_f))
+    rc = lib.craft_otf_decode_dynamic(
+        T, L, state, trans, fdep, num_states,
+        lex.num_states, lex.start, lex.num_arcs, _i32(lex.src),
+        _i32(lex.dst), _i32(lex.ilabel), _i32(lex.olabel),
+        _f32(lex.weight), _f32(lex.final),
+        *lm_args, float(lm_weight),
+        -1.0 if beam_threshold is None else float(beam_threshold),
+        0 if max_active is None else int(max_active),
+        max_words, out_words, ctypes.byref(nw), out_path,
+        ctypes.byref(wgt))
+    if rc == 2:
+        raise ValueError("otf_decode_dynamic: no accepting hypothesis "
+                         "(beam too narrow or lexicon cannot cover the "
+                         "utterance)")
+    if rc != 0:
+        raise RuntimeError(f"otf_decode_dynamic: native error {rc}")
     return ([words[w - 1] for w in out_words[:nw.value]],
             out_path.tolist(), float(wgt.value))

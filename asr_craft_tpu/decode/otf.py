@@ -150,3 +150,164 @@ def otf_decode_words(log_phi_state, log_phi_trans, length, graph: Fst,
     path.reverse()
     wids.reverse()
     return [words[w - 1] for w in wids], path, float(best[0])
+
+
+# ---------------------------------------------------------------------------
+# fully dynamic composition (WSJ-scale lexicons)
+# ---------------------------------------------------------------------------
+
+def _lm_closed(lm: Fst, lm_weight: float):
+    """Memoized epsilon-closed LM advance: (state, word) -> (dst, weight),
+    and the closed final-weight vector.  Backoff bigram LMs reach unseen
+    continuations through their input-epsilon backoff arcs; the closure
+    takes the min-weight path (explicit bigram vs backoff+unigram)."""
+    from asr_craft_tpu.decode.fst import eps_closure
+    clos = eps_closure(lm)
+    index: Dict[Tuple[int, int], List[int]] = {}
+    for j in range(lm.num_arcs):
+        il = int(lm.ilabel[j])
+        if il:
+            index.setdefault((int(lm.src[j]), il), []).append(j)
+    finals = np.full(lm.num_states, np.inf)
+    for s in range(lm.num_states):
+        for s2, w2 in clos[s]:
+            f = float(lm.final[s2])
+            if np.isfinite(f):
+                finals[s] = min(finals[s], w2 + f)
+    memo: Dict[Tuple[int, int], Optional[Tuple[int, float]]] = {}
+
+    def advance(u: int, word: int):
+        key = (u, word)
+        if key in memo:
+            return memo[key]
+        best = None
+        for u2, w2 in clos[u]:
+            for j in index.get((u2, word), ()):
+                w = w2 + float(lm.weight[j])
+                if best is None or w < best[1]:
+                    best = (int(lm.dst[j]), w)
+        if best is not None:
+            best = (best[0], lm_weight * best[1])
+        memo[key] = best
+        return best
+
+    return advance, finals * lm_weight
+
+
+def otf_decode_words_dynamic(log_phi_state, log_phi_trans, length,
+                             lex: Fst, words: List[str],
+                             lm: Optional[Fst] = None,
+                             lm_weight: float = 1.0,
+                             num_states: int = 1,
+                             beam_threshold: Optional[float] = None,
+                             max_active: Optional[int] = None,
+                             backend: str = "auto"
+                             ) -> Tuple[List[str], List[int], float]:
+    """Beam word decode with FULLY dynamic composition — no composed
+    search graph is ever built.
+
+    :func:`otf_decode_words` takes a pre-composed G = lexicon o LM, whose
+    state space is the trie x history PRODUCT — ~135M pairs at a 5k-word
+    lexicon with a bigram LM, unbuildable.  Here tokens carry the triple
+    ``(expanded state l, lexicon state, LM state)``; the LM advances only
+    when the lexicon emits a word (epsilon-closed, so pruned BACKOFF LMs
+    — :func:`asr_craft_tpu.decode.fst.backoff_bigram_lm_fst` — work
+    directly).  This is the reference decoder's actual architecture
+    (SURVEY.md §3.3: on-the-fly composition against dictionary/LM FST);
+    memory is bounded by the live beam, not the graph product.  Exact
+    (equal weight to the offline composed shortest path) when both beams
+    are None; the C++ twin is ``craft_otf_decode_dynamic``
+    (native/fst.cpp), held to this implementation in tests/unit/test_otf.
+    """
+    if backend != "py":
+        from asr_craft_tpu.decode import fst_native
+        if fst_native.available() and hasattr(fst_native,
+                                              "otf_decode_dynamic"):
+            return fst_native.otf_decode_dynamic(
+                log_phi_state, log_phi_trans, length, lex, words, lm,
+                lm_weight, num_states, beam_threshold, max_active)
+        if backend == "native":
+            raise RuntimeError("native fst backend not built")
+    state = np.asarray(log_phi_state, np.float64)[:int(length)]
+    trans = np.asarray(log_phi_trans, np.float64)
+    T, L = state.shape
+    phone_of = (np.arange(L) // num_states + 1).astype(np.int64)
+    li: Dict[Tuple[int, int], List[int]] = {}
+    for j in range(lex.num_arcs):
+        li.setdefault((int(lex.src[j]), int(lex.ilabel[j])),
+                      []).append(j)
+    if lm is not None:
+        lm_adv, lm_fin = _lm_closed(lm, lm_weight)
+        lm0 = lm.start
+    else:
+        lm_adv, lm_fin, lm0 = None, None, 0
+
+    def expand(store, l, lexs, lms, sc, parent):
+        """Advance the lexicon (and LM on word emission) with phone_of(l)."""
+        for j in li.get((lexs, int(phone_of[l])), ()):
+            w = int(lex.olabel[j])
+            sc2 = sc + float(lex.weight[j])
+            lm2 = lms
+            if w and lm_adv is not None:
+                a = lm_adv(lms, w)
+                if a is None:
+                    continue
+                lm2, lw = a
+                sc2 += lw
+            key = (l, int(lex.dst[j]), lm2)
+            e = store.get(key)
+            if e is None or sc2 < e[0]:
+                store[key] = [sc2, parent, w]
+
+    cur: dict = {}
+    for l in range(L):
+        if state[0, l] < _FINITE:
+            continue
+        expand(cur, l, lex.start, lm0, -state[0, l], -1)
+    frames = [list(_prune(cur, beam_threshold, max_active).items())]
+
+    for t in range(1, T):
+        tr = trans if trans.ndim == 2 else trans[t]
+        nxt: dict = {}
+        for eid, ((l, lexs, lms), (sc, _, _)) in enumerate(frames[-1]):
+            arc_w = tr[l] + state[t]
+            for lp in range(L):
+                if arc_w[lp] < _FINITE:
+                    continue
+                ns = sc - arc_w[lp]
+                if phone_of[lp] == phone_of[l]:
+                    e = nxt.get((lp, lexs, lms))
+                    if e is None or ns < e[0]:
+                        nxt[(lp, lexs, lms)] = [ns, eid, 0]
+                else:
+                    expand(nxt, lp, lexs, lms, ns, eid)
+        frames.append(list(_prune(nxt, beam_threshold, max_active).items()))
+
+    best = None
+    for eid, ((l, lexs, lms), (sc, _, _)) in enumerate(frames[-1]):
+        f = float(lex.final[lexs])
+        if not np.isfinite(f):
+            continue
+        tot = sc + f
+        if lm_fin is not None:
+            if not np.isfinite(lm_fin[lms]):
+                continue
+            tot += float(lm_fin[lms])
+        if best is None or tot < best[0]:
+            best = (tot, eid)
+    if best is None:
+        raise ValueError("otf_decode_dynamic: no accepting hypothesis "
+                         "(beam too narrow or lexicon cannot cover the "
+                         "utterance)")
+
+    path, wids = [], []
+    eid = best[1]
+    for t in range(T - 1, -1, -1):
+        (l, _, _), (_, parent, word) = frames[t][eid]
+        path.append(int(l))
+        if word:
+            wids.append(int(word))
+        eid = parent
+    path.reverse()
+    wids.reverse()
+    return [words[w - 1] for w in wids], path, float(best[0])

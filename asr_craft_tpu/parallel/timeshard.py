@@ -44,7 +44,8 @@ from jax import shard_map
 from asr_craft_tpu.ops.semiring import (LOG, NEG_INF, TROPICAL, get_semiring,
                                         matvec)
 
-__all__ = ["time_mesh", "sharded_log_partition", "sharded_viterbi"]
+__all__ = ["time_mesh", "sharded_log_partition", "sharded_viterbi",
+           "survivor_mask"]
 
 
 def time_mesh(n_devices: Optional[int] = None) -> Mesh:
@@ -141,12 +142,98 @@ def sharded_log_partition(state, trans, lengths, mesh: Mesh,
     )(state, trans, lengths)
 
 
-def sharded_viterbi(state, trans, lengths, mesh: Mesh):
+def _chunk_survivors(state_loc, lengths, offset, K: int):
+    """Per-(batch, chunk) top-K surviving labels by peak state evidence
+    over the chunk's valid frames.  Returns (B, K) int32 label ids.
+
+    This is the sharded analogue of beam label pruning: the survivor set
+    is a pure function of the chunk's own potentials (no sequential
+    dependence), so the pruned lattice is IDENTICAL between the sharded
+    and unsharded evaluations — pruned-sharded == pruned-unsharded holds
+    exactly (tests/dist/test_timeshard.py), while the chunk reduction
+    drops from O(Tl L^3) to O(Tl K^3)."""
+    B, Tl, L = state_loc.shape
+    gs = offset + jnp.arange(Tl)
+    valid = (gs[None, :] < lengths[:, None])[..., None]
+    peak = jnp.max(jnp.where(valid, state_loc, NEG_INF), axis=1)  # (B, L)
+    _, surv = jax.lax.top_k(peak, K)
+    return jnp.sort(surv.astype(jnp.int32), axis=-1)
+
+
+def survivor_mask(state, lengths, n_chunks: int, K: int):
+    """(B, T, L) bool: the label-survivor sets the pruned sharded decode
+    uses, materialized for the unsharded reference path (test utility —
+    the sharded path never builds this)."""
+    B, T, L = state.shape
+    Tl = T // n_chunks
+    masks = []
+    for c in range(n_chunks):
+        surv = _chunk_survivors(state[:, c * Tl:(c + 1) * Tl], lengths,
+                                c * Tl, K)
+        m = jnp.zeros((B, L), bool)
+        m = m.at[jnp.arange(B)[:, None], surv].set(True)
+        masks.append(jnp.broadcast_to(m[:, None], (B, Tl, L)))
+    return jnp.concatenate(masks, axis=1)
+
+
+def _pruned_chunk_product(state_loc, trans, lengths, offset, sr, surv):
+    """Chunk transfer product restricted to the survivor labels, expanded
+    back to (B, L, L) for the boundary combine (non-survivor rows/columns
+    are semiring zeros).  The all_gather payload in sharded_viterbi is the
+    EXPANDED matrix for code simplicity on CPU meshes; the information
+    content is the (B, K, K) pruned product + (B, K) survivor ids — the
+    collective-exchanged pruning state of the BASELINE bar."""
+    B, Tl, L = state_loc.shape
+    K = surv.shape[1]
+    state_k = jnp.take_along_axis(state_loc, surv[:, None, :], axis=2)
+    trans_kk = trans[surv[:, :, None], surv[:, None, :]]      # (B, K, K)
+    eyeK = jnp.where(jnp.eye(K, dtype=bool), 0.0, NEG_INF)
+
+    # inner frames (t0+1 ..): K-space product — the O(Tl K^3) core
+    def step(prod, inp):
+        g, state_t = inp                                      # (B, K)
+        M = trans_kk + state_t[:, None, :]
+        new = sr.sum(prod[:, :, :, None] + M[:, None, :, :], axis=2)
+        new = jnp.where((g < lengths)[:, None, None], new, prod)
+        return new, None
+
+    gs = offset + 1 + jnp.arange(Tl - 1)
+    inner, _ = jax.lax.scan(
+        step, jnp.broadcast_to(eyeK, (B, K, K)),
+        (gs, jnp.moveaxis(state_k[:, 1:], 1, 0)))
+
+    # first factor: ROWS stay in the FULL label space — the product's row
+    # index is the label BEFORE the chunk (the previous chunk's survivor
+    # domain), only its columns are this chunk's survivors.
+    Mf = jnp.moveaxis(trans[:, surv], 1, 0)                   # (B, L, K)
+    Mf = Mf + state_k[:, 0][:, None, :]
+    Mf = jnp.where(offset == 0,
+                   jnp.broadcast_to(state_k[:, 0][:, None, :], (B, L, K)),
+                   Mf)                                        # virtual start
+    comp = sr.sum(Mf[:, :, :, None] + inner[:, None, :, :], axis=2)
+
+    full = jnp.full((B, L, L), NEG_INF, comp.dtype)
+    full = full.at[jnp.arange(B)[:, None, None],
+                   jnp.arange(L)[None, :, None],
+                   surv[:, None, :]].set(comp)
+    eyeL = jnp.where(jnp.eye(L, dtype=bool), 0.0, NEG_INF)
+    return jnp.where((offset < lengths)[:, None, None], full, eyeL)
+
+
+def sharded_viterbi(state, trans, lengths, mesh: Mesh,
+                    beam_labels: Optional[int] = None):
     """Exact Viterbi with time sharding.  Returns (path (B, T), score (B,)).
 
     Local deltas come from the tropical vector recursion off the boundary
     alphas; the traceback chains labels right-to-left across shards via
-    ppermute (the "pruning state exchanged via collectives" of BASELINE)."""
+    ppermute (the "pruning state exchanged via collectives" of BASELINE).
+
+    ``beam_labels``: per-chunk top-K label pruning (None/K>=L = exact).
+    The chunk reduction — the O(Tl L^3) term that makes exact time
+    sharding lose at moderate L — runs in the K-dim survivor space; what
+    crosses the collective is the pruned product (see
+    :func:`_pruned_chunk_product`).  Equals the unsharded decode on the
+    survivor-masked lattice exactly (:func:`survivor_mask`)."""
     sr = TROPICAL
     N = mesh.shape["time"]
     B, T, L = state.shape
@@ -155,7 +242,17 @@ def sharded_viterbi(state, trans, lengths, mesh: Mesh):
         idx = jax.lax.axis_index("time")
         Tl = state_loc.shape[1]
         offset = idx * Tl
-        prod = _local_chunk_product(state_loc, trans, lengths, offset, sr)
+        if beam_labels is not None and beam_labels < L:
+            surv = _chunk_survivors(state_loc, lengths, offset,
+                                    beam_labels)
+            prod = _pruned_chunk_product(state_loc, trans, lengths,
+                                         offset, sr, surv)
+            smask = jnp.zeros((B, L), bool).at[
+                jnp.arange(B)[:, None], surv].set(True)
+            state_loc = jnp.where(smask[:, None, :], state_loc, NEG_INF)
+        else:
+            prod = _local_chunk_product(state_loc, trans, lengths, offset,
+                                        sr)
         prods = jax.lax.all_gather(prod, "time")
         a_in, a_final = _boundary_alphas(prods, idx, B, L, sr)
         deltas, _ = _local_vector_scan(state_loc, trans, lengths, offset,

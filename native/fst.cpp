@@ -335,4 +335,221 @@ int32_t craft_otf_decode(
   return 0;
 }
 
+// Fully dynamic composition (WSJ-scale lexicons): tokens carry
+// (expanded label, LEXICON state, LM state) and the LM advances only when
+// the lexicon emits a word, through its input-epsilon closure (backoff
+// bigram LMs).  No composed search graph is ever built -- the trie x
+// history product (~1e8 pairs at 5k words x bigram) never exists; memory
+// is bounded by the live beam.  Twin of
+// asr_craft_tpu/decode/otf.py:otf_decode_words_dynamic (the oracle).
+// lm_ns == 0 disables the LM.  Returns 0 ok, 2 no hypothesis, 3 word
+// buffer too small.
+int32_t craft_otf_decode_dynamic(
+    int32_t T, int32_t L, const double* state, const double* trans,
+    int32_t trans_frame_dep, int32_t num_states,
+    int32_t lx_ns, int32_t lx_start, int32_t lx_na, const int32_t* lx_src,
+    const int32_t* lx_dst, const int32_t* lx_il, const int32_t* lx_ol,
+    const float* lx_w, const float* lx_final,
+    int32_t lm_ns, int32_t lm_start, int32_t lm_na, const int32_t* lm_src,
+    const int32_t* lm_dst, const int32_t* lm_il, const int32_t* lm_ol,
+    const float* lm_w, const float* lm_final, double lm_weight,
+    double beam_threshold, int32_t max_active,
+    int32_t max_words, int32_t* out_words, int32_t* out_nw,
+    int32_t* out_path, double* out_weight) {
+  const double kFinite = -1e29;
+  struct Token { int32_t l, lex, lm; double sc; int32_t parent, word; };
+
+  // lexicon arc index by (state, phone ilabel)
+  std::unordered_map<int64_t, std::vector<int32_t>> li;
+  li.reserve(lx_na * 2);
+  for (int32_t j = 0; j < lx_na; ++j)
+    li[(int64_t)lx_src[j] << 32 | (uint32_t)lx_il[j]].push_back(j);
+
+  // LM: word-arc index, epsilon adjacency, per-state epsilon closure and
+  // closed finals; (state, word) advance memo
+  const bool has_lm = lm_ns > 0;
+  std::unordered_map<int64_t, std::vector<int32_t>> mi;
+  std::vector<std::vector<std::pair<int32_t, float>>> eps_adj, closure;
+  std::vector<double> lm_fin;
+  if (has_lm) {
+    mi.reserve(lm_na * 2);
+    eps_adj.resize(lm_ns);
+    for (int32_t j = 0; j < lm_na; ++j) {
+      if (lm_il[j] == 0)
+        eps_adj[lm_src[j]].push_back({lm_dst[j], lm_w[j]});
+      else
+        mi[(int64_t)lm_src[j] << 32 | (uint32_t)lm_il[j]].push_back(j);
+    }
+    closure.resize(lm_ns);
+    lm_fin.assign(lm_ns, (double)kInf);
+    std::vector<double> best(lm_ns);
+    for (int32_t s = 0; s < lm_ns; ++s) {
+      // Dijkstra-lite over the (tiny) epsilon subgraph
+      std::vector<std::pair<int32_t, float>>& cl = closure[s];
+      std::unordered_map<int32_t, double> b;
+      std::deque<int32_t> q;
+      b[s] = 0.0; q.push_back(s);
+      while (!q.empty()) {
+        int32_t u = q.front(); q.pop_front();
+        double wu = b[u];
+        for (auto& e : eps_adj[u]) {
+          double nw = wu + e.second;
+          auto it = b.find(e.first);
+          if (it == b.end() || nw < it->second) {
+            b[e.first] = nw; q.push_back(e.first);
+          }
+        }
+      }
+      for (auto& kv : b) {
+        cl.push_back({kv.first, (float)kv.second});
+        if (std::isfinite(lm_final[kv.first]))
+          lm_fin[s] = std::min(lm_fin[s],
+                               (kv.second + lm_final[kv.first]) * lm_weight);
+      }
+    }
+  }
+  std::unordered_map<int64_t, std::pair<int32_t, float>> adv_memo;
+  auto lm_advance = [&](int32_t u, int32_t word,
+                        int32_t* v, double* w) -> bool {
+    int64_t key = (int64_t)u << 32 | (uint32_t)word;
+    auto it = adv_memo.find(key);
+    if (it == adv_memo.end()) {
+      int32_t bv = -1; double bw = 0.0;
+      for (auto& c : closure[u]) {
+        auto jt = mi.find((int64_t)c.first << 32 | (uint32_t)word);
+        if (jt == mi.end()) continue;
+        for (int32_t j : jt->second) {
+          double cw = c.second + lm_w[j];
+          if (bv < 0 || cw < bw) { bv = lm_dst[j]; bw = cw; }
+        }
+      }
+      it = adv_memo.emplace(key,
+                            std::make_pair(bv, (float)bw)).first;
+    }
+    if (it->second.first < 0) return false;
+    *v = it->second.first;
+    *w = lm_weight * it->second.second;
+    return true;
+  };
+
+  const int64_t lm_mod = has_lm ? lm_ns : 1;
+  std::vector<std::vector<Token>> frames(T);
+  std::unordered_map<int64_t, int32_t> slot;
+  auto key_of = [&](int32_t l, int32_t lex, int32_t lm) {
+    return ((int64_t)l * lx_ns + lex) * lm_mod + lm;
+  };
+  auto phone_of = [&](int32_t l) { return l / num_states + 1; };
+
+  auto relax = [&](std::vector<Token>& cur, int32_t l, int32_t lex,
+                   int32_t lm, double sc, int32_t parent, int32_t word) {
+    int64_t k = key_of(l, lex, lm);
+    auto it = slot.find(k);
+    if (it == slot.end()) {
+      slot.emplace(k, (int32_t)cur.size());
+      cur.push_back({l, lex, lm, sc, parent, word});
+    } else if (sc < cur[it->second].sc) {
+      cur[it->second] = {l, lex, lm, sc, parent, word};
+    }
+  };
+
+  // advance the lexicon (and LM on word emission) with phone_of(l)
+  auto expand = [&](std::vector<Token>& cur, int32_t l, int32_t lex,
+                    int32_t lm, double sc, int32_t parent) {
+    auto it = li.find((int64_t)lex << 32 | (uint32_t)phone_of(l));
+    if (it == li.end()) return;
+    for (int32_t j : it->second) {
+      int32_t word = lx_ol[j];
+      double s2 = sc + lx_w[j];
+      int32_t lm2 = lm;
+      if (word && has_lm) {
+        double lw;
+        if (!lm_advance(lm, word, &lm2, &lw)) continue;
+        s2 += lw;
+      }
+      relax(cur, l, lx_dst[j], lm2, s2, parent, word);
+    }
+  };
+
+  auto prune = [&](std::vector<Token>& cur) {
+    if (cur.empty()) return;
+    if (beam_threshold >= 0) {
+      double best = cur[0].sc;
+      for (const Token& t : cur) best = std::min(best, t.sc);
+      std::vector<Token> kept;
+      kept.reserve(cur.size());
+      for (const Token& t : cur)
+        if (t.sc <= best + beam_threshold) kept.push_back(t);
+      cur.swap(kept);
+    }
+    if (max_active > 0 && (int32_t)cur.size() > max_active) {
+      std::nth_element(cur.begin(), cur.begin() + max_active - 1, cur.end(),
+                       [](const Token& a, const Token& b) {
+                         return a.sc < b.sc;
+                       });
+      cur.resize(max_active);
+    }
+  };
+
+  slot.clear();
+  const int32_t lm0 = has_lm ? lm_start : 0;
+  for (int32_t l = 0; l < L; ++l) {
+    double s0 = state[l];
+    if (s0 < kFinite) continue;
+    expand(frames[0], l, lx_start, lm0, -s0, -1);
+  }
+  prune(frames[0]);
+
+  for (int32_t t = 1; t < T; ++t) {
+    const double* st = state + (int64_t)t * L;
+    const double* tr = trans_frame_dep ? trans + (int64_t)t * L * L : trans;
+    slot.clear();
+    std::vector<Token>& prev = frames[t - 1];
+    for (int32_t eid = 0; eid < (int32_t)prev.size(); ++eid) {
+      const Token tok = prev[eid];
+      const double* trow = tr + (int64_t)tok.l * L;
+      int32_t ph = phone_of(tok.l);
+      for (int32_t lp = 0; lp < L; ++lp) {
+        double w = trow[lp] + st[lp];
+        if (w < kFinite) continue;
+        double ns = tok.sc - w;
+        if (phone_of(lp) == ph)
+          relax(frames[t], lp, tok.lex, tok.lm, ns, eid, 0);
+        else
+          expand(frames[t], lp, tok.lex, tok.lm, ns, eid);
+      }
+    }
+    prune(frames[t]);
+  }
+
+  double best = kInf;
+  int32_t best_eid = -1;
+  for (int32_t eid = 0; eid < (int32_t)frames[T - 1].size(); ++eid) {
+    const Token& t = frames[T - 1][eid];
+    if (!std::isfinite(lx_final[t.lex])) continue;
+    double tot = t.sc + lx_final[t.lex];
+    if (has_lm) {
+      if (!std::isfinite(lm_fin[t.lm])) continue;
+      tot += lm_fin[t.lm];
+    }
+    if (tot < best) { best = tot; best_eid = eid; }
+  }
+  if (best_eid < 0) return 2;
+
+  std::vector<int32_t> words_rev;
+  int32_t eid = best_eid;
+  for (int32_t t = T - 1; t >= 0; --t) {
+    const Token& tok = frames[t][eid];
+    out_path[t] = tok.l;
+    if (tok.word) words_rev.push_back(tok.word);
+    eid = tok.parent;
+  }
+  if ((int32_t)words_rev.size() > max_words) return 3;
+  *out_nw = (int32_t)words_rev.size();
+  for (size_t k = 0; k < words_rev.size(); ++k)
+    out_words[k] = words_rev[words_rev.size() - 1 - k];
+  *out_weight = best;
+  return 0;
+}
+
 }  // extern "C"
+

@@ -109,3 +109,43 @@ def test_2d_mesh_dp_plus_timeshard(rng):
     logZ_ref = ops.log_partition_batch(state, trans, lengths)
     np.testing.assert_allclose(np.asarray(logZ_sh), np.asarray(logZ_ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_pruned_sharded_equals_masked_unsharded(rng):
+    """beam_labels=K: the pruned sharded decode == the unsharded decode on
+    the survivor-masked lattice (identical label sets by construction),
+    and K=L == exact (VERDICT r3 next #4a/d)."""
+    import jax
+    from asr_craft_tpu.ops.semiring import NEG_INF
+    from asr_craft_tpu.parallel.timeshard import (sharded_viterbi,
+                                                  survivor_mask, time_mesh)
+
+    B, T, L, K = 3, 64, 12, 5
+    mesh = time_mesh()
+    N = mesh.shape["time"]
+    state = jnp.asarray(rng.normal(size=(B, T, L)) * 2.0, jnp.float32)
+    trans = jnp.asarray(rng.normal(size=(L, L)) * 0.4, jnp.float32)
+    lengths = jnp.asarray([T, T - 9, 2 * T // N + 3], jnp.int32)
+
+    path_p, score_p = sharded_viterbi(state, trans, lengths, mesh,
+                                      beam_labels=K)
+    mask = survivor_mask(state, lengths, N, K)
+    state_masked = jnp.where(mask, state, NEG_INF)
+    path_ref, score_ref = ops.viterbi_batch(state_masked, trans, lengths)
+    np.testing.assert_allclose(np.asarray(score_p), np.asarray(score_ref),
+                               rtol=1e-5, atol=1e-5)
+    for b in range(B):
+        n = int(lengths[b])
+        np.testing.assert_array_equal(np.asarray(path_p)[b, :n],
+                                      np.asarray(path_ref)[b, :n])
+
+    # K = L: pruning inert, equals exact
+    path_x, score_x = sharded_viterbi(state, trans, lengths, mesh,
+                                      beam_labels=L)
+    path_e, score_e = ops.viterbi_batch(state, trans, lengths)
+    np.testing.assert_allclose(np.asarray(score_x), np.asarray(score_e),
+                               rtol=1e-5, atol=1e-5)
+    for b in range(B):
+        n = int(lengths[b])
+        np.testing.assert_array_equal(np.asarray(path_x)[b, :n],
+                                      np.asarray(path_e)[b, :n])

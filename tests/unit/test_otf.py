@@ -105,3 +105,133 @@ def test_otf_native_matches_py(rng):
         assert w_nat == w_py, kw
         assert p_nat == p_py, kw
         np.testing.assert_allclose(wt_nat, wt_py, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# dynamic composition (r4: WSJ-scale path)
+# ---------------------------------------------------------------------------
+
+def _lex_fst():
+    return F.lexicon_fst(LEX, WORDS)
+
+
+def test_otf_dynamic_exact_matches_static(rng):
+    """No LM, no beam: the dynamic-composition decoder equals the static
+    pre-composed search graph (and hence the offline composed path)."""
+    from asr_craft_tpu.decode.otf import otf_decode_words_dynamic
+
+    state, trans = _problem(rng)
+    g = build_search_graph(LEX, WORDS)
+    lex = _lex_fst()
+    for trial in range(3):
+        st = state + rng.normal(size=state.shape)
+        w_ref, p_ref, wt_ref = otf_decode_words(st, trans, len(st), g,
+                                                WORDS, backend="py")
+        w_dyn, p_dyn, wt_dyn = otf_decode_words_dynamic(
+            st, trans, len(st), lex, WORDS, backend="py")
+        assert w_dyn == w_ref
+        assert p_dyn == p_ref
+        np.testing.assert_allclose(wt_dyn, wt_ref, rtol=1e-5)
+
+
+def test_otf_dynamic_with_dense_lm(rng):
+    """Dense bigram LM: dynamic == static composed graph."""
+    from asr_craft_tpu.decode.otf import otf_decode_words_dynamic
+
+    state, trans = _problem(rng)
+    n = len(WORDS)
+    logp = np.log(np.full((n, n), 1.0 / n))
+    logp[0] = np.log(np.asarray([0.7, 0.1, 0.1, 0.1]))
+    lm = F.bigram_lm_fst(n, logp, np.full(n, np.log(1 / n)),
+                         np.full(n, -0.1))
+    g = build_search_graph(LEX, WORDS, lm=lm, lm_weight=2.0)
+    w_ref, _, wt_ref = otf_decode_words(state, trans, len(state), g,
+                                        WORDS, backend="py")
+    w_dyn, _, wt_dyn = otf_decode_words_dynamic(
+        state, trans, len(state), _lex_fst(), WORDS, lm=lm, lm_weight=2.0,
+        backend="py")
+    assert w_dyn == w_ref
+    np.testing.assert_allclose(wt_dyn, wt_ref, rtol=1e-5)
+
+
+def _backoff_lm():
+    """Tiny pruned backoff bigram: only some bigrams seen."""
+    n = len(WORDS)
+    bigrams = {(-1, 0): np.log(0.6), (0, 1): np.log(0.5),
+               (1, 2): np.log(0.4), (2, 0): np.log(0.5)}
+    alpha = {-1: np.log(0.4), 0: np.log(0.5), 1: np.log(0.6),
+             2: np.log(0.5), 3: np.log(1.0)}
+    logp_uni = np.log(np.full(n, 1.0 / n))
+    logp_final = {u: np.log(0.2) for u in range(-1, n)}
+    return F.backoff_bigram_lm_fst(n, bigrams, logp_uni, alpha, logp_final)
+
+
+def test_backoff_lm_eps_closure_and_removal(rng):
+    """remove_input_epsilons(backoff LM) is input-eps-free and tropically
+    equivalent on word sequences (checked by scoring strings)."""
+    lm = _backoff_lm()
+    dense = F.remove_input_epsilons(lm)
+    assert not any(int(i) == 0 for i in dense.ilabel)
+    # score a few word strings through both (tropical: min path weight)
+    for seq in ([1, 2, 3], [2, 2], [4, 1], [3]):
+        acc = F.linear_acceptor(seq)
+        w1 = F.shortest_path(F.compose(acc, dense))[2]
+        # brute force through the eps-ful original via closure math
+        clos = F.eps_closure(lm)
+        cur = {lm.start: 0.0}
+        for lab in seq:
+            nxt = {}
+            for s, w in cur.items():
+                for s2, w2 in clos[s]:
+                    for j in range(lm.num_arcs):
+                        if int(lm.src[j]) == s2 and int(lm.ilabel[j]) == lab:
+                            d = int(lm.dst[j])
+                            nw = w + w2 + float(lm.weight[j])
+                            if nw < nxt.get(d, np.inf):
+                                nxt[d] = nw
+            cur = nxt
+        best = np.inf
+        for s, w in cur.items():
+            for s2, w2 in F.eps_closure(lm)[s]:
+                f = float(lm.final[s2])
+                if np.isfinite(f):
+                    best = min(best, w + w2 + f)
+        np.testing.assert_allclose(w1, best, rtol=1e-6)
+
+
+def test_otf_dynamic_backoff_lm_matches_densified(rng):
+    """Pruned backoff LM through the dynamic decoder == the static path on
+    the epsilon-removed (densified) equivalent."""
+    from asr_craft_tpu.decode.otf import otf_decode_words_dynamic
+
+    state, trans = _problem(rng, T=14)
+    lm = _backoff_lm()
+    dense = F.remove_input_epsilons(lm)
+    g = build_search_graph(LEX, WORDS, lm=dense, lm_weight=1.5)
+    w_ref, _, wt_ref = otf_decode_words(state, trans, len(state), g,
+                                        WORDS, backend="py")
+    w_dyn, _, wt_dyn = otf_decode_words_dynamic(
+        state, trans, len(state), _lex_fst(), WORDS, lm=lm, lm_weight=1.5,
+        backend="py")
+    assert w_dyn == w_ref
+    np.testing.assert_allclose(wt_dyn, wt_ref, rtol=1e-5)
+
+
+def test_otf_dynamic_native_matches_py(rng):
+    from asr_craft_tpu.decode import fst_native
+    from asr_craft_tpu.decode.otf import otf_decode_words_dynamic
+
+    if not fst_native.available():
+        pytest.skip("native backend not built")
+    state, trans = _problem(rng, T=16)
+    lm = _backoff_lm()
+    lex = _lex_fst()
+    for kw in (dict(), dict(lm=lm, lm_weight=1.5),
+               dict(lm=lm, beam_threshold=6.0, max_active=8)):
+        w_py, p_py, wt_py = otf_decode_words_dynamic(
+            state, trans, len(state), lex, WORDS, backend="py", **kw)
+        w_nat, p_nat, wt_nat = fst_native.otf_decode_dynamic(
+            state, trans, len(state), lex, WORDS, **kw)
+        assert w_nat == w_py, kw
+        assert p_nat == p_py, kw
+        np.testing.assert_allclose(wt_nat, wt_py, rtol=1e-5)
