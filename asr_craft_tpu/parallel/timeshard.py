@@ -26,10 +26,13 @@ Viterbi traceback is inherently sequential right-to-left; labels cross shard
 boundaries through a ``ppermute`` chain of (B,) messages (cheap).
 
 Honest scaling note: step 1 costs O(T/N * L^3) per shard versus the
-unsharded O(T * L^2) vector scan, so time-sharding wins on wall-clock only
-for N comparable to L, very long T (memory), or heavily beam-pruned
-effective label sets; it is provided for capability parity and long-form
-decode, with exactness verified against the unsharded path.
+unsharded O(T * L^2) vector scan, so EXACT time-sharding wins on
+wall-clock only for N comparable to L or very long T (memory).  The r4
+``beam_labels`` path makes it win in practice: per-chunk top-K label
+survivor sets shrink the reduction to O(T/N * K^3) — measured 3.1x FASTER
+than the unsharded full-L scan at B=4 T=16384 L=48 K=12 on the 8-device
+CPU mesh (runs/baseline_table.json timeshard_decode_r4), while remaining
+exactly equal to the unsharded decode on the survivor-masked lattice.
 """
 from __future__ import annotations
 

@@ -360,13 +360,32 @@ for f, name in ((sh, "sharded_8dev"), (un, "unsharded_1dev")):
     dt = (time.perf_counter() - t0) / 5
     print(json.dumps({"kind": name, "ms": dt * 1e3,
                       "audio_s_per_s": B * T * 0.01 / dt}))
+# the r4 pruned win shape: long T, top-K survivor pruning (VERDICT r3 #4b)
+B, T, L, K = 4, 16384, 48, 12
+rng = np.random.default_rng(1)
+state = jnp.asarray(rng.normal(size=(B, T, L)) * 2.0, jnp.float32)
+trans = jnp.asarray(rng.normal(size=(L, L)) * 0.3, jnp.float32)
+lengths = jnp.full((B,), T, jnp.int32)
+shp = jax.jit(lambda s: sharded_viterbi(s, trans, lengths, mesh,
+                                        beam_labels=K))
+unx = jax.jit(lambda s: viterbi_batch(s, trans, lengths))
+for f, name in ((shp, "pruned_sharded_T16k"), (unx, "unsharded_T16k")):
+    out = f(state); jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        out = f(state)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / 3
+    print(json.dumps({"kind": name, "ms": dt * 1e3}))
 """
     r = run_jsonl([sys.executable, "-c", code],
                   env_extra={"JAX_PLATFORMS": "cpu",
                              "XLA_FLAGS":
                              "--xla_force_host_platform_device_count=8"})
     return {"sharded_8dev_cpu": last(r, "sharded_8dev"),
-            "unsharded_1dev_cpu": last(r, "unsharded_1dev")}
+            "unsharded_1dev_cpu": last(r, "unsharded_1dev"),
+            "pruned_sharded_T16k_L48_K12": last(r, "pruned_sharded_T16k"),
+            "unsharded_T16k": last(r, "unsharded_T16k")}
 
 
 def main(argv=None):
