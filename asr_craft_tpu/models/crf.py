@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from asr_craft_tpu.models.feature_map import (FeatureMapConfig,
                                               dense_potentials,
+                                              densify_sparse,
                                               sparse_potentials)
 from asr_craft_tpu.models.topology import Topology
 from asr_craft_tpu.ops import fdt, fwdbwd, mxu
@@ -137,10 +138,19 @@ def crf_loss(cfg: CrfConfig, params, feats, labels, lengths, sparse=None,
     otherwise, so a forgotten flag fails loudly as a disconnected graph
     rather than silently training an encoder at zero gradient).
     """
-    if cfg.fmap.frame_dependent_trans and cfg.featuremap == "dense":
+    if cfg.fmap.frame_dependent_trans:
         # topology-factored fast path (ops.fdt): never materializes the
         # (B, T, L', L') transition tensor; Pallas fused kernel on TPU,
         # factored lax.scan elsewhere.  Boundaries/clamp handled inside.
+        # Sparse inputs ride the same path through an exact on-device
+        # densify (O(B T K) scatter — see feature_map.densify_sparse);
+        # r3's sparse x frame-dependent cliff (materialized tensor +
+        # generic scan) is gone.
+        if cfg.featuremap == "sparse":
+            if sparse is None:
+                raise ValueError(
+                    "sparse feature map needs sparse=(indices, values)")
+            feats = densify_sparse(sparse[0], sparse[1], cfg.feat_dim)
         clamp_ns = 1 if label_kind == "state" else cfg.num_states
         raw_nll, logZ, num = fdt.fdt_nll_dual(
             cfg.fmap, cfg.num_states, params, feats, labels, lengths,
@@ -189,8 +199,14 @@ def decode(cfg: CrfConfig, params, feats, lengths, sparse=None,
     Returns (phone_frames (B, T), state_paths (B, T), scores (B,)).
     """
     from asr_craft_tpu import kernels
-    if cfg.fmap.frame_dependent_trans and cfg.featuremap == "dense":
-        # factored max-plus decode: no (B, T, L', L') materialization
+    if cfg.fmap.frame_dependent_trans:
+        # factored max-plus decode: no (B, T, L', L') materialization;
+        # sparse inputs densified exactly (see crf_loss)
+        if cfg.featuremap == "sparse":
+            if sparse is None:
+                raise ValueError(
+                    "sparse feature map needs sparse=(indices, values)")
+            feats = densify_sparse(sparse[0], sparse[1], cfg.feat_dim)
         P = cfg.num_labels
         if (kernels.backend() == "pallas" and beam_width is None
                 and P <= 64):
