@@ -401,8 +401,11 @@ def main(argv=None):
     plat = args.platform
 
     out = os.path.join(REPO, "runs", "baseline_table.json")
+    # ALWAYS merge into an existing table when running a row subset —
+    # a bare --only run once replaced the whole file (r4); --merge is
+    # kept as an explicit no-op for compatibility
     table = {}
-    if args.merge and os.path.exists(out):
+    if (args.merge or only) and os.path.exists(out):
         with open(out) as f:
             table = json.load(f)
 
