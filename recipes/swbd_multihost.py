@@ -16,6 +16,12 @@ Single-host it runs data-parallel over the local devices.  Time-sharded
 asr_craft_tpu.parallel.timeshard (see tests/dist/test_timeshard.py).
 
 Run:  python recipes/swbd_multihost.py [--ftr1_file swbd.pfile ...]
+
+Pod scaling measurement (the BASELINE >=80% audio-s/s bar): on any slice,
+``python bench.py --scaling`` runs the DP-sharded flagship step at
+1..N devices with fixed per-device batch and prints efficiency vs the
+1-device point (mechanics pre-verified on the forced 8-device CPU mesh —
+runs/baseline_table.json scaling_mechanics).
 """
 import os
 import sys
