@@ -208,10 +208,9 @@ def decode(cfg: CrfConfig, params, feats, lengths, sparse=None,
                     "sparse feature map needs sparse=(indices, values)")
             feats = densify_sparse(sparse[0], sparse[1], cfg.feat_dim)
         P = cfg.num_labels
-        if (kernels.backend() == "pallas" and beam_width is None
-                and P <= 64):
+        if kernels.backend() == "pallas" and P <= 128:
             # fused kernel (in-kernel plane formation + bp traceback);
-            # top-k max-active pruning stays on the XLA path below
+            # top-k max-active rides the exact K-th-value bisection (r4)
             from asr_craft_tpu.kernels.fdt_pallas import (build_wall,
                                                           fdt_viterbi_pallas)
             Wall, u0, u1, dims = build_wall(params, cfg.fmap,
@@ -220,7 +219,7 @@ def decode(cfg: CrfConfig, params, feats, lengths, sparse=None,
                 Wall, feats, lengths, u0=u0, u1=u1, ns=cfg.num_states,
                 P=dims["P"], P8=dims["P8"],
                 boundaries=cfg.enforce_boundaries,
-                beam_threshold=beam_threshold,
+                beam_threshold=beam_threshold, beam_width=beam_width,
                 precision=cfg.fmap.precision)
             return cfg.topology.path_to_phones(paths), paths, scores
         state, selfp, advp, crossp = fdt.factored_planes(

@@ -238,7 +238,10 @@ def fdt_nll_dual(fmap_cfg, ns: int, params, feats, labels, lengths,
     Lp = fmap_cfg.num_expanded
     clamp_ns = ns if clamp_ns is None else clamp_ns
     P = Lp // ns
-    if kernels.backend() == "pallas" and P <= 64:
+    # P cap 128: the (P8^2 + 3 L') x (TB Bk) plane at TB=1 plus dplane
+    # must fit VMEM (kernels.fdt_pallas._auto_tb shrinks TB with P; at
+    # P=128, R ~ 17.5k rows -> TB=2/1).  The r3 cap was 64.
+    if kernels.backend() == "pallas" and P <= 128:
         from asr_craft_tpu.kernels.fdt_pallas import fdt_nll_dual_pallas
         return fdt_nll_dual_pallas(fmap_cfg, ns, params, feats, labels,
                                    lengths, clamp_ns, boundaries,

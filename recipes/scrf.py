@@ -33,12 +33,21 @@ def main(argv=None):
                    help="train with the materialized (B,T,Dmax,L) oracle "
                         "loss instead of the streaming fused loss")
     p.add_argument("--platform", default=None)
+    p.add_argument("--decode_only", default=None,
+                   help="skip training: load this scrf_weights.npz, decode "
+                        "the (seeded, deterministic) corpus, report PER — "
+                        "the same-weights cross-backend parity probe")
+    p.add_argument("--kernel_backend", choices=["auto", "pallas", "xla"],
+                   default="auto")
     args = p.parse_args(argv)
 
     import os
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
+    if args.kernel_backend != "auto":
+        from asr_craft_tpu import kernels
+        kernels.set_backend(args.kernel_backend)
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -72,6 +81,15 @@ def main(argv=None):
                        num_states=args.seg_states)
     params = cfg.init_params()
     feats, labels, lengths = map(jnp.asarray, (feats, labels, lengths))
+
+    if args.decode_only:
+        params = weights_mod.load_npz(args.decode_only)
+        params = {k: jnp.asarray(v) for k, v in params.items()}
+        frames, scores = scrf_frame_labels(cfg, params, feats, lengths)
+        scorer = ErrorRateScorer()
+        score_batch(scorer, phones, np.asarray(frames), np.asarray(lengths))
+        logger.log("eval", per=scorer.error_rate, **scorer.summary())
+        return 0
 
     import optax
     opt = optax.adam(args.lr)

@@ -90,10 +90,28 @@ def scrf_rows(fast, platform="tpu"):
     ep = "120" if fast else "300"
     row = {}
     if platform == "tpu":
-        # Pallas (fused streaming loss) on TPU
+        # Pallas (fused streaming loss) on TPU; weights saved for the
+        # same-weights two-backend decode below
+        out = "/tmp/baseline_scrf_tpu"
         r = run_jsonl([sys.executable, "recipes/scrf.py", "--epochs", ep,
-                       "--utts", "60"])
+                       "--utts", "60", "--out_dir", out])
         row["per_pallas"] = last(r, "eval").get("per")
+        # SAME WEIGHTS, decode on both kernel backends ON THE CHIP
+        # (VERDICT r3 weak #2: config 4's parity cell was two separately
+        # trained runs; this is the comparable pair)
+        w = f"{out}/scrf_weights.npz"
+        for be in ("pallas", "xla"):
+            r = run_jsonl([sys.executable, "recipes/scrf.py",
+                           "--utts", "60",
+                           "--decode_only", w, "--kernel_backend", be,
+                           "--out_dir", f"{out}_{be}"])
+            row[f"per_decode_{be}_same_weights"] = last(r, "eval").get("per")
+        # and the CPU oracle decode on the same weights
+        r = run_jsonl([sys.executable, "recipes/scrf.py",
+                       "--utts", "60",
+                       "--decode_only", w, "--platform", "cpu",
+                       "--out_dir", f"{out}_cpu"])
+        row["per_decode_cpu_same_weights"] = last(r, "eval").get("per")
     # dense materialized oracle loss on CPU (the parity reference)
     r = run_jsonl([sys.executable, "recipes/scrf.py", "--epochs", ep,
                    "--utts", "60", "--dense_loss", "--platform", "cpu"])
