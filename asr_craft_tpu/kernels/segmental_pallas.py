@@ -39,49 +39,60 @@ from asr_craft_tpu.kernels.fwdbwd_pallas import _LANE, _SUBLANE, _round_up
 from asr_craft_tpu.ops.semiring import NEG_INF
 
 
-def _seg_fwd_kernel(len_ref, cum_ref, P_ref, tmax_ref, bias_ref,
+_TBLK = 8   # frames per grid step: amortizes per-step issue/DMA overhead
+            # (r4: grid=(T,) cost ~2-3 us/step of pure overhead x 512)
+
+
+def _seg_fwd_kernel(TB, len_ref, cum_ref, P_ref, tmax_ref, bias_ref,
                     invd_ref, alphas_ref, alpha_buf, cum_buf):
-    # Grid: (T,); step t consumes cum[t+1] and emits alpha[t].
-    # alpha_buf[i] = alpha[t-1-i]; cum_buf[i] = cum[t-i]   (i < Dmax)
-    t = pl.program_id(0)
+    # Grid: (Tp/TB,); step i processes frames t = i*TB + k, consuming
+    # cum[t+1] and emitting alpha[t].
+    # alpha_buf[j] = alpha[t-1-j]; cum_buf[j] = cum[t-j]   (j < Dmax)
+    i = pl.program_id(0)
     Dmax, B, L = alpha_buf.shape
 
-    @pl.when(t == 0)
+    @pl.when(i == 0)
     def _():
         alpha_buf[:] = jnp.full_like(alpha_buf, NEG_INF)
         cum_buf[:] = jnp.zeros_like(cum_buf)   # cum[0] = 0
 
-    cum_now = cum_ref[0]                                    # (B, L): cum[t+1]
+    for k in range(TB):
+        t = i * TB + k
+        cum_now = cum_ref[k]                                # (B, L): cum[t+1]
 
-    # duration messages on the MXU: (Dmax*B, L) @ (L, L)
-    a = alpha_buf[:]                                        # (Dmax, B, L)
-    m = jnp.maximum(jnp.max(a, axis=-1, keepdims=True), NEG_INF)
-    prod = jnp.dot(jnp.exp(a - m).reshape(Dmax * B, L), P_ref[:],
-                   preferred_element_type=jnp.float32).reshape(Dmax, B, L)
-    msg = m + tmax_ref[0:1, :][None] + jnp.log(jnp.maximum(prod, 1e-38))
-    # d == t: segment starts at frame 0 — no predecessor (semiring one);
-    # d > t: structurally invalid.
-    ds = jax.lax.broadcasted_iota(jnp.int32, (Dmax, 1, 1), 0)
-    msg = jnp.where(ds == t, 0.0, msg)
-    msg = jnp.where(ds > t, NEG_INF, msg)
+        # duration messages on the MXU: (Dmax*B, L) @ (L, L)
+        a = alpha_buf[:]                                    # (Dmax, B, L)
+        m = jnp.maximum(jnp.max(a, axis=-1, keepdims=True), NEG_INF)
+        prod = jnp.dot(jnp.exp(a - m).reshape(Dmax * B, L), P_ref[:],
+                       preferred_element_type=jnp.float32
+                       ).reshape(Dmax, B, L)
+        msg = m + tmax_ref[0:1, :][None] + jnp.log(
+            jnp.maximum(prod, 1e-38))
+        # d == t: segment starts at frame 0 — no predecessor (semiring
+        # one); d > t: structurally invalid.
+        ds = jax.lax.broadcasted_iota(jnp.int32, (Dmax, 1, 1), 0)
+        msg = jnp.where(ds == t, 0.0, msg)
+        msg = jnp.where(ds > t, NEG_INF, msg)
 
-    # segment potentials from the cumulative window
-    invd = invd_ref[:, 0:1].reshape(Dmax, 1, 1)
-    seg = (cum_now[None] - cum_buf[:]) * invd \
-        + bias_ref[:].reshape(Dmax, 1, L)                   # (Dmax, B, L)
+        # segment potentials from the cumulative window
+        invd = invd_ref[:, 0:1].reshape(Dmax, 1, 1)
+        seg = (cum_now[None] - cum_buf[:]) * invd \
+            + bias_ref[:].reshape(Dmax, 1, L)               # (Dmax, B, L)
 
-    cand = msg + seg
-    cm = jnp.maximum(jnp.max(cand, axis=0), NEG_INF)        # (B, L)
-    alpha_t = cm + jnp.log(jnp.maximum(
-        jnp.sum(jnp.exp(cand - cm[None]), axis=0), 1e-38))
-    # padded frames: alpha stays NEG_INF (never read; logZ gathers length-1)
-    valid = len_ref[:, 0:1] > t
-    alpha_t = jnp.where(valid, alpha_t, NEG_INF)
+        cand = msg + seg
+        cm = jnp.maximum(jnp.max(cand, axis=0), NEG_INF)    # (B, L)
+        alpha_t = cm + jnp.log(jnp.maximum(
+            jnp.sum(jnp.exp(cand - cm[None]), axis=0), 1e-38))
+        # padded frames: alpha stays NEG_INF (never read; logZ gathers
+        # length-1)
+        valid = len_ref[:, 0:1] > t
+        alpha_t = jnp.where(valid, alpha_t, NEG_INF)
 
-    alphas_ref[0] = alpha_t
-    # roll windows: newest first
-    alpha_buf[:] = jnp.concatenate([alpha_t[None], alpha_buf[:-1]], axis=0)
-    cum_buf[:] = jnp.concatenate([cum_now[None], cum_buf[:-1]], axis=0)
+        alphas_ref[k] = alpha_t
+        # roll windows: newest first
+        alpha_buf[:] = jnp.concatenate([alpha_t[None], alpha_buf[:-1]],
+                                       axis=0)
+        cum_buf[:] = jnp.concatenate([cum_now[None], cum_buf[:-1]], axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("max_dur", "mean_pool",
@@ -114,6 +125,10 @@ def segmental_forward_pallas(frame_scores_tm, trans, dur_bias, seg_bias,
     if Lp != L:
         bias = bias.at[:, L:].set(NEG_INF)
 
+    TB = _TBLK
+    Tp = _round_up(T, TB)
+    if Tp != T:
+        fs = jnp.pad(fs, ((0, Tp - T), (0, 0), (0, 0)))
     cum = jnp.cumsum(fs, axis=0)                            # cum[t] = sum 0..t
     tmax = jnp.maximum(jnp.max(trans, axis=0), NEG_INF)
     P = jnp.exp(trans - tmax[None, :])
@@ -126,12 +141,12 @@ def segmental_forward_pallas(frame_scores_tm, trans, dur_bias, seg_bias,
                              (Bp, _LANE))
 
     [alphas] = pl.pallas_call(
-        _seg_fwd_kernel,
-        grid=(T,),
+        functools.partial(_seg_fwd_kernel, TB),
+        grid=(Tp // TB,),
         in_specs=[
             pl.BlockSpec((Bp, _LANE), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Bp, Lp), lambda t: (t, 0, 0),
+            pl.BlockSpec((TB, Bp, Lp), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Lp, Lp), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -143,16 +158,17 @@ def segmental_forward_pallas(frame_scores_tm, trans, dur_bias, seg_bias,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, Bp, Lp), lambda t: (t, 0, 0),
+            pl.BlockSpec((TB, Bp, Lp), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_shape=[jax.ShapeDtypeStruct((T, Bp, Lp), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((Tp, Bp, Lp), jnp.float32)],
         scratch_shapes=[
             pltpu.VMEM((Dmax, Bp, Lp), jnp.float32),
             pltpu.VMEM((Dmax, Bp, Lp), jnp.float32),
         ],
         interpret=interpret,
     )(len2d, cum, P, tmax8, bias, invd2d)
+    alphas = alphas[:T]
 
     alphas = alphas[:, :B, :L]
     last = jnp.take_along_axis(
@@ -188,13 +204,14 @@ def _len2d(lengths, Bp):
     return jnp.broadcast_to(lengths[:, None].astype(jnp.int32), (Bp, _LANE))
 
 
-def _seg_bwd_kernel(len_ref, cum_ref, M_ref, tmaxr_ref, bias_ref, invd_ref,
-                    betas_ref, beta_buf, cs_buf):
-    # Descending grid: step i handles t = T-1-i; consumes cum[t] = CS[t+1].
+def _seg_bwd_kernel(TB, len_ref, cum_ref, M_ref, tmaxr_ref, bias_ref,
+                    invd_ref, betas_ref, beta_buf, cs_buf):
+    # Descending grid over TB-frame blocks: step i handles block nb-1-i,
+    # frames t descending inside; consumes cum[t] = CS[t+1].
     # beta_buf[j] = beta[t+1+j]; cs_buf[j] = CS[t+2+j].
     i = pl.program_id(0)
-    T = pl.num_programs(0)
-    t = T - 1 - i
+    nb = pl.num_programs(0)
+    base = (nb - 1 - i) * TB
     Dmax, B, L = beta_buf.shape
 
     @pl.when(i == 0)
@@ -202,25 +219,31 @@ def _seg_bwd_kernel(len_ref, cum_ref, M_ref, tmaxr_ref, bias_ref, invd_ref,
         beta_buf[:] = jnp.full_like(beta_buf, NEG_INF)
         cs_buf[:] = jnp.zeros_like(cs_buf)
 
-    cs_next = cum_ref[0]                                    # (B, L): CS[t+1]
-    invd = invd_ref[:, 0:1].reshape(Dmax, 1, 1)
-    seg_next = (cs_buf[:] - cs_next[None]) * invd \
-        + bias_ref[:].reshape(Dmax, 1, L)                   # segment (t+d+1, d)
-    w = seg_next + beta_buf[:]
-    mw = jnp.maximum(jnp.max(w, axis=-1, keepdims=True), NEG_INF)
-    prod = jnp.dot(jnp.exp(w - mw).reshape(Dmax * B, L), M_ref[:],
-                   preferred_element_type=jnp.float32).reshape(Dmax, B, L)
-    msg = mw + tmaxr_ref[0:1, :][None] + jnp.log(jnp.maximum(prod, 1e-38))
-    cm = jnp.maximum(jnp.max(msg, axis=0), NEG_INF)         # (B, L)
-    beta_t = cm + jnp.log(jnp.maximum(
-        jnp.sum(jnp.exp(msg - cm[None]), axis=0), 1e-38))
-    lenv = len_ref[:, 0:1]
-    beta_t = jnp.where(t == lenv - 1, 0.0, beta_t)
-    beta_t = jnp.where(t >= lenv, NEG_INF, beta_t)
+    for j in range(TB):
+        k = TB - 1 - j
+        t = base + k
+        cs_next = cum_ref[k]                                # (B, L): CS[t+1]
+        invd = invd_ref[:, 0:1].reshape(Dmax, 1, 1)
+        seg_next = (cs_buf[:] - cs_next[None]) * invd \
+            + bias_ref[:].reshape(Dmax, 1, L)               # seg (t+d+1, d)
+        w = seg_next + beta_buf[:]
+        mw = jnp.maximum(jnp.max(w, axis=-1, keepdims=True), NEG_INF)
+        prod = jnp.dot(jnp.exp(w - mw).reshape(Dmax * B, L), M_ref[:],
+                       preferred_element_type=jnp.float32
+                       ).reshape(Dmax, B, L)
+        msg = mw + tmaxr_ref[0:1, :][None] + jnp.log(
+            jnp.maximum(prod, 1e-38))
+        cm = jnp.maximum(jnp.max(msg, axis=0), NEG_INF)     # (B, L)
+        beta_t = cm + jnp.log(jnp.maximum(
+            jnp.sum(jnp.exp(msg - cm[None]), axis=0), 1e-38))
+        lenv = len_ref[:, 0:1]
+        beta_t = jnp.where(t == lenv - 1, 0.0, beta_t)
+        beta_t = jnp.where(t >= lenv, NEG_INF, beta_t)
 
-    betas_ref[0] = beta_t
-    beta_buf[:] = jnp.concatenate([beta_t[None], beta_buf[:-1]], axis=0)
-    cs_buf[:] = jnp.concatenate([cs_next[None], cs_buf[:-1]], axis=0)
+        betas_ref[k] = beta_t
+        beta_buf[:] = jnp.concatenate([beta_t[None], beta_buf[:-1]],
+                                      axis=0)
+        cs_buf[:] = jnp.concatenate([cs_next[None], cs_buf[:-1]], axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("max_dur", "mean_pool",
@@ -239,13 +262,18 @@ def segmental_backward_pallas(cum, trans, bias, lengths, max_dur: int,
     M = jnp.exp(trans - tmax_row[:, None]).T
     tmaxr8 = jnp.broadcast_to(tmax_row[None, :], (_SUBLANE, Lp))
 
+    TB = _TBLK
+    Tp = _round_up(T, TB)
+    if Tp != T:
+        cum = jnp.pad(cum, ((0, Tp - T), (0, 0), (0, 0)), mode="edge")
+    nb = Tp // TB
     [betas] = pl.pallas_call(
-        _seg_bwd_kernel,
-        grid=(T,),
+        functools.partial(_seg_bwd_kernel, TB),
+        grid=(nb,),
         in_specs=[
             pl.BlockSpec((Bp, _LANE), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Bp, Lp), lambda i: (T - 1 - i, 0, 0),
+            pl.BlockSpec((TB, Bp, Lp), lambda i: (nb - 1 - i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Lp, Lp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -257,29 +285,29 @@ def segmental_backward_pallas(cum, trans, bias, lengths, max_dur: int,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, Bp, Lp), lambda i: (T - 1 - i, 0, 0),
+            pl.BlockSpec((TB, Bp, Lp), lambda i: (nb - 1 - i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_shape=[jax.ShapeDtypeStruct((T, Bp, Lp), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((Tp, Bp, Lp), jnp.float32)],
         scratch_shapes=[
             pltpu.VMEM((Dmax, Bp, Lp), jnp.float32),
             pltpu.VMEM((Dmax, Bp, Lp), jnp.float32),
         ],
         interpret=interpret,
     )(_len2d(lengths, Bp), cum, M, tmaxr8, bias, _invd2d(Dmax, mean_pool))
-    return betas[:, :B, :L]
+    return betas[:T, :B, :L]
 
 
-def _seg_grad_kernel(len_ref, g_ref, logz_ref, cum_ref, alpha_ref, beta_ref,
-                     P_ref, tmax_ref, bias_ref, invd_ref,
+def _seg_grad_kernel(TB, Tlim, len_ref, g_ref, logz_ref, cum_ref, alpha_ref,
+                     beta_ref, P_ref, tmax_ref, bias_ref, invd_ref,
                      A_ref, S_ref, acc_ref, gt_ref, gd_ref,
                      alpha_buf, cs_buf):
-    # Ascending grid over t: xi[t, d] for all d in VMEM, accumulating the
-    # gradient pieces (ops.segmental_stream._grad_scan, in-kernel).
-    t = pl.program_id(0)
+    # Ascending TB-frame blocks: xi[t, d] for all d in VMEM, accumulating
+    # the gradient pieces (ops.segmental_stream._grad_scan, in-kernel).
+    i = pl.program_id(0)
     Dmax, B, L = alpha_buf.shape
 
-    @pl.when(t == 0)
+    @pl.when(i == 0)
     def _():
         alpha_buf[:] = jnp.full_like(alpha_buf, NEG_INF)
         cs_buf[:] = jnp.zeros_like(cs_buf)
@@ -287,46 +315,60 @@ def _seg_grad_kernel(len_ref, g_ref, logz_ref, cum_ref, alpha_ref, beta_ref,
         gt_ref[:] = jnp.zeros_like(gt_ref)
         gd_ref[:] = jnp.zeros_like(gd_ref)
 
-    cum_now = cum_ref[0]
-    alpha_t = alpha_ref[0]
-    beta_t = beta_ref[0]
-    lenv = len_ref[:, 0:1]                                  # (B, 1)
-    gB = g_ref[:, 0:1][None]                                # (1, B, 1)
-    ds = jax.lax.broadcasted_iota(jnp.int32, (Dmax, 1, 1), 0)
+    for k in range(TB):
+        t = i * TB + k
+        cum_now = cum_ref[k]
+        alpha_t = alpha_ref[k]
+        beta_t = beta_ref[k]
+        lenv = len_ref[:, 0:1]                              # (B, 1)
+        gB = g_ref[:, 0:1][None]                            # (1, B, 1)
+        ds = jax.lax.broadcasted_iota(jnp.int32, (Dmax, 1, 1), 0)
 
-    m = jnp.maximum(jnp.max(alpha_buf[:], axis=-1, keepdims=True), NEG_INF)
-    prod = jnp.dot(jnp.exp(alpha_buf[:] - m).reshape(Dmax * B, L), P_ref[:],
-                   preferred_element_type=jnp.float32).reshape(Dmax, B, L)
-    pred = m + tmax_ref[0:1, :][None] + jnp.log(jnp.maximum(prod, 1e-38))
-    pred = jnp.where(ds == t, 0.0, pred)
-    pred = jnp.where(ds > t, NEG_INF, pred)
+        m = jnp.maximum(jnp.max(alpha_buf[:], axis=-1, keepdims=True),
+                        NEG_INF)
+        prod = jnp.dot(jnp.exp(alpha_buf[:] - m).reshape(Dmax * B, L),
+                       P_ref[:], preferred_element_type=jnp.float32
+                       ).reshape(Dmax, B, L)
+        pred = m + tmax_ref[0:1, :][None] + jnp.log(
+            jnp.maximum(prod, 1e-38))
+        pred = jnp.where(ds == t, 0.0, pred)
+        pred = jnp.where(ds > t, NEG_INF, pred)
 
-    invd = invd_ref[:, 0:1].reshape(Dmax, 1, 1)
-    seg = (cum_now[None] - cs_buf[:]) * invd \
-        + bias_ref[:].reshape(Dmax, 1, L)
-    x_v = seg + (beta_t - logz_ref[:, 0:1])[None]           # (Dmax, B, L)
-    valid = (lenv > t)[None]
-    xi_g = jnp.where(valid, jnp.exp(pred + x_v) * gB, 0.0)
+        invd = invd_ref[:, 0:1].reshape(Dmax, 1, 1)
+        seg = (cum_now[None] - cs_buf[:]) * invd \
+            + bias_ref[:].reshape(Dmax, 1, L)
+        x_v = seg + (beta_t - logz_ref[:, 0:1])[None]       # (Dmax, B, L)
+        valid = (lenv > t)[None]
+        xi_g = jnp.where(valid, jnp.exp(pred + x_v) * gB, 0.0)
 
-    acc = acc_ref[:] + invd * xi_g
-    S_ref[0] = acc[Dmax - 1]
-    acc_ref[:] = jnp.concatenate(
-        [jnp.zeros((1, B, L), acc.dtype), acc[:-1]], axis=0)
-    A_ref[0] = jnp.sum(invd * xi_g, axis=0)
-    gd_ref[:] = gd_ref[:] + jnp.sum(xi_g, axis=1)
+        acc = acc_ref[:] + invd * xi_g
+        S_ref[k] = acc[Dmax - 1]
 
-    # trans contraction: xi over (p, l) = U^T V * exp(trans) (finish on host)
-    mV = jnp.maximum(jnp.max(x_v, axis=-1, keepdims=True), NEG_INF)
-    w_sc = jnp.exp(m + mV) * gB
-    w_sc = jnp.where(valid & (ds < t), w_sc, 0.0)
-    U = (jnp.exp(alpha_buf[:] - m) * w_sc).reshape(Dmax * B, L)
-    V = jnp.exp(x_v - mV).reshape(Dmax * B, L)
-    gt_ref[:] = gt_ref[:] + jax.lax.dot_general(
-        U, V, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        # the roll count must be exactly Tlim (the real T): the assembler
+        # reads acc_fin as "acc after T rolls"; padded tail frames (t >=
+        # Tlim, xi identically 0) must not shift it further
+        @pl.when(t < Tlim)
+        def _(acc=acc):
+            acc_ref[:] = jnp.concatenate(
+                [jnp.zeros((1, B, L), acc.dtype), acc[:-1]], axis=0)
 
-    alpha_buf[:] = jnp.concatenate([alpha_t[None], alpha_buf[:-1]], axis=0)
-    cs_buf[:] = jnp.concatenate([cum_now[None], cs_buf[:-1]], axis=0)
+        A_ref[k] = jnp.sum(invd * xi_g, axis=0)
+        gd_ref[:] = gd_ref[:] + jnp.sum(xi_g, axis=1)
+
+        # trans contraction: xi over (p, l) = U^T V * exp(trans)
+        # (finished on host)
+        mV = jnp.maximum(jnp.max(x_v, axis=-1, keepdims=True), NEG_INF)
+        w_sc = jnp.exp(m + mV) * gB
+        w_sc = jnp.where(valid & (ds < t), w_sc, 0.0)
+        U = (jnp.exp(alpha_buf[:] - m) * w_sc).reshape(Dmax * B, L)
+        V = jnp.exp(x_v - mV).reshape(Dmax * B, L)
+        gt_ref[:] = gt_ref[:] + jax.lax.dot_general(
+            U, V, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        alpha_buf[:] = jnp.concatenate([alpha_t[None], alpha_buf[:-1]],
+                                       axis=0)
+        cs_buf[:] = jnp.concatenate([cum_now[None], cs_buf[:-1]], axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("max_dur", "mean_pool",
@@ -356,34 +398,41 @@ def segmental_grad_pallas(cum, trans, bias, lengths, alphas, betas, logZ, g,
     logz2d = jnp.broadcast_to(logZ.astype(jnp.float32)[:, None],
                               (Bp, _LANE))
 
+    TB = _TBLK
+    Tp = _round_up(T, TB)
+    if Tp != T:
+        cum = jnp.pad(cum, ((0, Tp - T), (0, 0), (0, 0)), mode="edge")
+        pad_t = ((0, Tp - T), (0, 0), (0, 0))
+        alphas = jnp.pad(alphas, pad_t, constant_values=NEG_INF)
+        betas = jnp.pad(betas, pad_t, constant_values=NEG_INF)
     whole = lambda i: (0, 0)
     whole3 = lambda i: (0, 0, 0)
     row = lambda i: (i, 0, 0)
     A, S_emit, acc_fin, gt, gd = pl.pallas_call(
-        _seg_grad_kernel,
-        grid=(T,),
+        functools.partial(_seg_grad_kernel, TB, T),
+        grid=(Tp // TB,),
         in_specs=[
             pl.BlockSpec((Bp, _LANE), whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((Bp, _LANE), whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((Bp, _LANE), whole, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Bp, Lp), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Bp, Lp), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Bp, Lp), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, Bp, Lp), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, Bp, Lp), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, Bp, Lp), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((Lp, Lp), whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((_SUBLANE, Lp), whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((Dmax, Lp), whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((Dmax, _LANE), whole, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, Bp, Lp), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Bp, Lp), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, Bp, Lp), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, Bp, Lp), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((Dmax, Bp, Lp), whole3, memory_space=pltpu.VMEM),
             pl.BlockSpec((Lp, Lp), whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((Dmax, Lp), whole, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, Bp, Lp), jnp.float32),
-            jax.ShapeDtypeStruct((T, Bp, Lp), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, Bp, Lp), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, Bp, Lp), jnp.float32),
             jax.ShapeDtypeStruct((Dmax, Bp, Lp), jnp.float32),
             jax.ShapeDtypeStruct((Lp, Lp), jnp.float32),
             jax.ShapeDtypeStruct((Dmax, Lp), jnp.float32),
@@ -395,7 +444,7 @@ def segmental_grad_pallas(cum, trans, bias, lengths, alphas, betas, logZ, g,
         interpret=interpret,
     )(_len2d(lengths, Bp), g2d, logz2d, cum, alphas, betas, P, tmax8,
       bias, _invd2d(Dmax, mean_pool))
-    return (A[:, :B, :L], S_emit[:, :B, :L], acc_fin[:, :B, :L],
+    return (A[:T, :B, :L], S_emit[:T, :B, :L], acc_fin[:, :B, :L],
             gd[:, :L], gt[:L, :L])
 
 
@@ -413,40 +462,43 @@ def _seg_vit_kernel(lsub, thr, len_ref, cum_ref, trans_ref, bias_ref,
     Emits deltas and the duration argmax; predecessor argmaxes are
     re-derived per segment jump in the XLA traceback (ops.segmental_stream
     seg_viterbi_stream)."""
-    t = pl.program_id(0)
+    i = pl.program_id(0)
+    TB = deltas_ref.shape[0]
     Dmax, B, L = M_buf.shape
 
-    @pl.when(t == 0)
+    @pl.when(i == 0)
     def _():
         M_buf[:] = jnp.full_like(M_buf, NEG_INF)
         cum_buf[:] = jnp.zeros_like(cum_buf)
 
-    cum_now = cum_ref[0]                                    # (B, L)
-    ds = jax.lax.broadcasted_iota(jnp.int32, (Dmax, 1, 1), 0)
-    msg = jnp.where(ds == t, 0.0, M_buf[:])
-    msg = jnp.where(ds > t, NEG_INF, msg)
-    invd = invd_ref[:, 0:1].reshape(Dmax, 1, 1)
-    seg = (cum_now[None] - cum_buf[:]) * invd \
-        + bias_ref[:].reshape(Dmax, 1, L)
-    cand = msg + seg                                        # (Dmax, B, L)
-    delta_t = jnp.max(cand, axis=0)
-    di = jax.lax.broadcasted_iota(jnp.int32, cand.shape, 0)
-    argd = jnp.min(jnp.where(cand == delta_t[None], di, Dmax), axis=0)
-    if thr is not None:
-        rowm = jnp.max(delta_t, axis=-1, keepdims=True)
-        delta_t = jnp.where(delta_t >= rowm - thr, delta_t, NEG_INF)
-    valid = len_ref[:, 0:1] > t
-    delta_t = jnp.where(valid, delta_t, NEG_INF)
-    deltas_ref[0] = delta_t
-    argd_ref[0] = argd
+    for k in range(TB):
+        t = i * TB + k
+        cum_now = cum_ref[k]                                # (B, L)
+        ds = jax.lax.broadcasted_iota(jnp.int32, (Dmax, 1, 1), 0)
+        msg = jnp.where(ds == t, 0.0, M_buf[:])
+        msg = jnp.where(ds > t, NEG_INF, msg)
+        invd = invd_ref[:, 0:1].reshape(Dmax, 1, 1)
+        seg = (cum_now[None] - cum_buf[:]) * invd \
+            + bias_ref[:].reshape(Dmax, 1, L)
+        cand = msg + seg                                    # (Dmax, B, L)
+        delta_t = jnp.max(cand, axis=0)
+        di = jax.lax.broadcasted_iota(jnp.int32, cand.shape, 0)
+        argd = jnp.min(jnp.where(cand == delta_t[None], di, Dmax), axis=0)
+        if thr is not None:
+            rowm = jnp.max(delta_t, axis=-1, keepdims=True)
+            delta_t = jnp.where(delta_t >= rowm - thr, delta_t, NEG_INF)
+        valid = len_ref[:, 0:1] > t
+        delta_t = jnp.where(valid, delta_t, NEG_INF)
+        deltas_ref[k] = delta_t
+        argd_ref[k] = argd
 
-    # message window for later frames (one max-plus, reduction over the
-    # real predecessor rows only)
-    dl = jax.lax.slice(delta_t, (0, 0), (B, lsub))
-    cand_p = dl[:, :, None] + trans_ref[0:lsub, :][None, :, :]
-    M_new = jnp.max(cand_p, axis=1)                         # (B, L)
-    M_buf[:] = jnp.concatenate([M_new[None], M_buf[:-1]], axis=0)
-    cum_buf[:] = jnp.concatenate([cum_now[None], cum_buf[:-1]], axis=0)
+        # message window for later frames (one max-plus, reduction over
+        # the real predecessor rows only)
+        dl = jax.lax.slice(delta_t, (0, 0), (B, lsub))
+        cand_p = dl[:, :, None] + trans_ref[0:lsub, :][None, :, :]
+        M_new = jnp.max(cand_p, axis=1)                     # (B, L)
+        M_buf[:] = jnp.concatenate([M_new[None], M_buf[:-1]], axis=0)
+        cum_buf[:] = jnp.concatenate([cum_now[None], cum_buf[:-1]], axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("max_dur", "mean_pool",
@@ -474,6 +526,10 @@ def segmental_viterbi_pallas(frame_scores_tm, trans, dur_bias, seg_bias,
         bias = bias.at[:, :L].add(seg_bias[None, :])
     if Lp != L:
         bias = bias.at[:, L:].set(NEG_INF)
+    TB = _TBLK
+    Tp = _round_up(T, TB)
+    if Tp != T:
+        fs = jnp.pad(fs, ((0, Tp - T), (0, 0), (0, 0)))
     cum = jnp.cumsum(fs, axis=0)
     invd = (1.0 / (jnp.arange(Dmax) + 1.0) if mean_pool
             else jnp.ones(Dmax))
@@ -485,11 +541,11 @@ def segmental_viterbi_pallas(frame_scores_tm, trans, dur_bias, seg_bias,
 
     deltas, argd = pl.pallas_call(
         functools.partial(_seg_vit_kernel, lsub, beam_threshold),
-        grid=(T,),
+        grid=(Tp // TB,),
         in_specs=[
             pl.BlockSpec((Bp, _LANE), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Bp, Lp), lambda t: (t, 0, 0),
+            pl.BlockSpec((TB, Bp, Lp), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Lp, Lp), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -499,14 +555,14 @@ def segmental_viterbi_pallas(frame_scores_tm, trans, dur_bias, seg_bias,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, Bp, Lp), lambda t: (t, 0, 0),
+            pl.BlockSpec((TB, Bp, Lp), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Bp, Lp), lambda t: (t, 0, 0),
+            pl.BlockSpec((TB, Bp, Lp), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, Bp, Lp), jnp.float32),
-            jax.ShapeDtypeStruct((T, Bp, Lp), jnp.int32),
+            jax.ShapeDtypeStruct((Tp, Bp, Lp), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, Bp, Lp), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((Dmax, Bp, Lp), jnp.float32),
@@ -515,8 +571,8 @@ def segmental_viterbi_pallas(frame_scores_tm, trans, dur_bias, seg_bias,
         interpret=interpret,
     )(len2d, cum, trans, bias, invd2d)
 
-    deltas = deltas[:, :B, :L]
-    argd = argd[:, :B, :L]
+    deltas = deltas[:T, :B, :L]
+    argd = argd[:T, :B, :L]
     # clip the final-frame gather and mask zero-length rows to NEG_INF,
     # matching the XLA seg_viterbi_stream (a raw lengths-1 would index
     # frame -1 and return garbage scores for length-0 padding rows)

@@ -232,14 +232,16 @@ def bench_scrf(steps=9):
     lengths = jnp.full((Bs,), Ts, jnp.int32)
     opt = optax.sgd(0.05)
 
+    # the chain runs through params (the real training dependency — new
+    # batches are independent inputs); chaining feats through the loss
+    # was measured to add ~1.5 ms of artificial serialization + copy
     @jax.jit
-    def step(params, opt_state, feats):
+    def step(params, opt_state):
         loss, g = jax.value_and_grad(
-            lambda p: scrf_loss_fused(cfg, p, feats, labels,
+            lambda p: scrf_loss_fused(cfg, p, feats0, labels,
                                       lengths)[0])(params)
         u, opt_state = opt.update(g, opt_state)
-        return (optax.apply_updates(params, u), opt_state,
-                feats + 0 * loss)
+        return optax.apply_updates(params, u), opt_state
 
     def slope(fn, state, k=steps):
         state = fn(state)              # warm/compile
@@ -264,7 +266,7 @@ def bench_scrf(steps=9):
 
     opt_state = opt.init(params)
     train_dt = slope(
-        lambda s: step(s[0], s[1], s[2]), (params, opt_state, feats0))
+        lambda s: step(s[0], s[1]), (params, opt_state))
 
     @jax.jit
     def dec(feats):
