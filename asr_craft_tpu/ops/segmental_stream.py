@@ -691,19 +691,29 @@ def _seg_traceback_deltas(arg_d, deltas, trans, lab0, lengths, T):
 
 def _pack_segment_markers(end_lab, end_start):
     """(T, B) per-frame segment-end markers (label or -1, start frame) ->
-    the fixed-size ascending (B, T) starts/labels/n layout."""
-    T = end_lab.shape[0]
+    the fixed-size ascending (B, T) starts/labels/n layout.
 
-    def pack(ol, os):
-        ends = ol >= 0
-        cs = jnp.cumsum(ends.astype(jnp.int32))
-        n = cs[-1]
-        # slot k holds the k-th end in ascending t: the first t with
-        # cs[t] == k+1 (searchsorted gather — XLA scatters are slow on TPU)
-        tk = jnp.clip(jnp.searchsorted(cs, jnp.arange(1, T + 1),
-                                       side="left"), 0, T - 1)
-        live = jnp.arange(T) < n
-        return (jnp.where(live, os[tk], 0).astype(jnp.int32),
-                jnp.where(live, ol[tk], 0).astype(jnp.int32), n)
-
-    return jax.vmap(pack, in_axes=(1, 1))(end_lab, end_start)
+    TPU-first compaction: marker t with ``ends[t]`` lands in slot
+    ``cs[t]-1`` (cs = running end count), a bijection because cs is
+    monotone — so packing is ONE batched one-hot matmul
+    ``out[k] = sum_t [ends[t] and cs[t]==k+1] * v[t]`` on the MXU.
+    The r3 vmapped-searchsorted form measured 3.7 ms at the production
+    decode shape (most of the decode!); this is ~0.3 ms.  Values are
+    exact in f32 (< 2^24)."""
+    T, B = end_lab.shape
+    ol = jnp.transpose(end_lab)                               # (B, T)
+    os = jnp.transpose(end_start)
+    ends = ol >= 0
+    cs = jnp.cumsum(ends.astype(jnp.int32), axis=1)           # (B, T)
+    n = cs[:, -1]
+    E = (ends[:, None, :]
+         & (cs[:, None, :] == jnp.arange(1, T + 1)[None, :, None])
+         ).astype(jnp.float32)                                # (B, k, t)
+    vals = jnp.stack([jnp.where(ends, os, 0),
+                      jnp.where(ends, ol, 0)], axis=-1
+                     ).astype(jnp.float32)                    # (B, T, 2)
+    out = jnp.einsum("bkt,btc->bkc", E, vals,
+                     precision="highest")                     # (B, T, 2)
+    starts = jnp.round(out[..., 0]).astype(jnp.int32)
+    labels = jnp.round(out[..., 1]).astype(jnp.int32)
+    return starts, labels, n
