@@ -134,3 +134,45 @@ def test_cli_word_decode_with_lm(tmp_path):
     # uniform LM shifts every path by the same per-word constant; with the
     # acoustic model this strong it must not degrade the transcripts much
     assert wer_lm <= wer_nolm + 0.02, (wer_lm, wer_nolm)
+
+
+def test_cli_word_decode_dynamic(tmp_path):
+    """--otf_dynamic through the real CLI: the fully dynamic
+    lexicon/LM-composition decoder (r4 WSJ-scale path) with a pruned
+    BACKOFF bigram LM estimated from the training transcripts must match
+    the offline composed path's transcripts on this easy corpus."""
+    from asr_craft_tpu.data.synthetic import WordCorpusConfig as WCC
+    from asr_craft_tpu.decode import fst as F
+
+    cfg = WCC(num_words=6, noise=0.2, seed=7)
+    feats, labels, word_seqs, lexicon, words = generate_word_corpus(cfg, 80)
+    num_phones = _setup_corpus(tmp_path)
+    out_dir = str(tmp_path / "run")
+    _run("asr_craft_tpu.cli.train",
+         "--ftr1_file", str(tmp_path / "train.pf"),
+         "--crf_label_size", str(num_phones),
+         "--crf_epochs", "6", "--crf_lr", "1.0",
+         "--batch_size", "8", "--bucket_sizes", "256",
+         "--out_dir", out_dir)
+    weight = os.path.join(out_dir, "weights.final.dat")
+    lm = F.estimate_backoff_bigram(word_seqs[:70], words)
+    F.write_fst_text(lm, tmp_path / "lm.fst.txt")
+
+    common = ["asr_craft_tpu.cli.decode",
+              "--ftr1_file", str(tmp_path / "test.pf"),
+              "--crf_label_size", str(num_phones),
+              "--weight_file", weight,
+              "--batch_size", "8", "--bucket_sizes", "256",
+              "--lexicon", str(tmp_path / "lex.txt"),
+              "--ref_words", str(tmp_path / "refs.txt")]
+    wer_offline = _wer(_run(*common))
+    wer_dyn = _wer(_run(*common, "--otf_dynamic", "--fst_backend", "py",
+                        "--beam_threshold", "12.0", "--max_active", "64"))
+    wer_dyn_lm = _wer(_run(*common, "--otf_dynamic",
+                           "--lm", str(tmp_path / "lm.fst.txt"),
+                           "--lm_weight", "0.5",
+                           "--beam_threshold", "12.0",
+                           "--max_active", "64"))
+    assert wer_dyn <= wer_offline + 0.02, (wer_dyn, wer_offline)
+    # a transcript-matched LM must not hurt on this separable corpus
+    assert wer_dyn_lm <= wer_dyn + 0.02, (wer_dyn_lm, wer_dyn)
