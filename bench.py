@@ -209,7 +209,7 @@ def bench_decode_floor(Ts=(64, 128, 256, 512), steps=20):
     }
 
 
-def bench_scrf(steps=9):
+def bench_scrf(steps=6):
     """Segmental-CRF production shape (B=64 T=512 L=48 Dmax=16 — 8.6 GB if
     the (B,T,Dmax,L) tensor were materialized): train step + streaming
     decode, slope-timed, with the r4 segmental roofline phases
@@ -279,9 +279,10 @@ def bench_scrf(steps=9):
 
     dec_dt = slope(dec, feats0)
 
-    # decode floor: T-sweep of the streaming decode (VERDICT r3 weak #3)
+    # decode floor: T-sweep of the streaming decode (VERDICT r3 weak #3);
+    # 3 points keep the whole bench under the driver's budget
     times = {}
-    for Tx in (64, 128, 256, 512):
+    for Tx in (64, 256, 512):
         fx = feats0[:, :Tx]
         lx = jnp.full((Bs,), Tx, jnp.int32)
 
