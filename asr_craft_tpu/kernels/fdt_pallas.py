@@ -246,27 +246,19 @@ def _factored_alpha_update(alpha, self_k, adv_k, cross_k, *, ns, P8):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(ns, P, P8, clamp_ns, boundaries, prec, TB,
-                len_ref, xu_ref, xun_ref, lab_ref, Wall_ref,
-                alphas_ref, logz_ref, carry, plane, plane_nxt):
+                len_ref, xu_ref, lab_ref, Wall_ref,
+                alphas_ref, logz_ref, carry, plane):
     i = pl.program_id(0)
     LP = ns * P8
     Bk = lab_ref.shape[2]
 
-    # Software-pipelined plane formation: this block's plane was formed
-    # during the PREVIOUS grid step (into plane_nxt); here we roll it into
-    # the working buffer and immediately issue block i+1's matmul, which
-    # has no data dependence on the frame recursion below — the MXU runs
-    # the next formation while the VPU walks this block's frames
-    # (runs/profile_fdt.py: formation was ~60% of the un-pipelined kernel).
-    @pl.when(i == 0)
-    def _():
-        plane[:] = _form(Wall_ref[:], xu_ref[0], prec)
-
-    @pl.when(i > 0)
-    def _():
-        plane[:] = plane_nxt[:]
-
-    plane_nxt[:] = _form(Wall_ref[:], xun_ref[0], prec)
+    # Direct plane formation (single tripled-K dot, operands pre-split
+    # XLA-side).  A software-pipelined variant (next block's matmul issued
+    # against this block's VPU recursion, roll-copied between two plane
+    # buffers) was built and measured in r4: Mosaic overlaps MXU/VPU work
+    # by <10%, so the pipeline's copy cost exceeded its overlap gain
+    # (fwd 1.90 -> 1.74 ms without it; runs/profile_fdt.py).
+    plane[:] = _form(Wall_ref[:], xu_ref[0], prec)
 
     for k in range(TB):
         t = i * TB + k
@@ -315,14 +307,13 @@ def _fwd_kernel(ns, P, P8, clamp_ns, boundaries, prec, TB,
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(ns, P, P8, clamp_ns, boundaries, prec, TB, want_dfeats,
-                Du8, len_ref, zw_ref, xu_ref, xun_ref, lab_ref, alphas_ref,
+                Du8, len_ref, zw_ref, xu_ref, lab_ref, alphas_ref,
                 Wall_ref, dW_ref, *rest):
     if want_dfeats:
-        dxu_ref, dxe_ref, carry, plane, plane_nxt, dplane, saved_plane, \
+        dxu_ref, dxe_ref, carry, plane, dplane, saved_plane, \
             saved_lab, saved_xu = rest
     else:
-        carry, plane, plane_nxt, dplane, saved_plane, saved_lab, \
-            saved_xu = rest
+        carry, plane, dplane, saved_plane, saved_lab, saved_xu = rest
     i = pl.program_id(0)
     nb = pl.num_programs(0)
     base = (nb - 1 - i) * TB
@@ -344,18 +335,8 @@ def _bwd_kernel(ns, P, P8, clamp_ns, boundaries, prec, TB, want_dfeats,
         saved_xu[:] = jnp.zeros_like(saved_xu)
 
     # this block's planes (the previous grid step's frame-0 columns were
-    # saved before we overwrite) — software-pipelined like the forward:
-    # the copy consumes the formation issued LAST step; the next (earlier)
-    # block's matmul is issued now and overlaps this block's VPU work
-    @pl.when(i == 0)
-    def _():
-        plane[:] = _form(Wall_ref[:], xu_ref[0], prec)
-
-    @pl.when(i > 0)
-    def _():
-        plane[:] = plane_nxt[:]
-
-    plane_nxt[:] = _form(Wall_ref[:], xun_ref[0], prec)
+    # saved before we overwrite); direct formation — see _fwd_kernel
+    plane[:] = _form(Wall_ref[:], xu_ref[0], prec)
 
     # slots never written below stay zero: trans rows of slot 0, state rows
     # of the extra slot TB
@@ -571,11 +552,6 @@ def fdt_forward_pallas(Wall, feats, labels, lengths, *, u0, u1, ns, P, P8,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Dw, TBK), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            # block i+1's features, for the pipelined formation (the last
-            # block re-forms itself; that spare matmul result is unused)
-            pl.BlockSpec((1, Dw, TBK),
-                         lambda i: (jnp.minimum(i + 1, nb - 1), 0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, _SUBLANE, Bk), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((R, Dw), lambda i: (0, 0),
@@ -592,12 +568,11 @@ def fdt_forward_pallas(Wall, feats, labels, lengths, *, u0, u1, ns, P, P8,
             jax.ShapeDtypeStruct((_SUBLANE, 2 * Bk), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((LP, 2 * Bk), jnp.float32),
-                        pltpu.VMEM((R, TBK), jnp.float32),
                         pltpu.VMEM((R, TBK), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(len2, xu, xu, lab, Wall)
+    )(len2, xu, lab, Wall)
     return alphas, logz[0, 0:B], logz[0, Bk:Bk + B]
 
 
@@ -663,10 +638,6 @@ def fdt_backward_grad_pallas(Wall, feats, labels, lengths, alphas, zf, zc,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Dw, TBK), lambda i: (nb - 1 - i, 0, 0),
                          memory_space=pltpu.VMEM),
-            # the next (earlier) block's features for pipelined formation
-            pl.BlockSpec((1, Dw, TBK),
-                         lambda i: (jnp.maximum(nb - 2 - i, 0), 0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, _SUBLANE, Bk), lambda i: (nb - 1 - i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, LP, 2 * Bk), lambda i: (nb - 1 - i, 0, 0),
@@ -679,7 +650,6 @@ def fdt_backward_grad_pallas(Wall, feats, labels, lengths, alphas, zf, zc,
         scratch_shapes=[
             pltpu.VMEM((LP, 2 * Bk), jnp.float32),          # beta carry
             pltpu.VMEM((R, TBK), jnp.float32),              # plane
-            pltpu.VMEM((R, TBK), jnp.float32),              # plane_nxt
             pltpu.VMEM((R, (TB + 1) * Bk), jnp.float32),    # dplane
             pltpu.VMEM((R, Bk), jnp.float32),               # saved plane
             pltpu.VMEM((_SUBLANE, Bk), jnp.int32),          # saved labels
@@ -688,7 +658,7 @@ def fdt_backward_grad_pallas(Wall, feats, labels, lengths, alphas, zf, zc,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(len2, zw, xu, xu, lab, alphas, Wall)
+    )(len2, zw, xu, lab, alphas, Wall)
     if not want_dfeats:
         return out[0]
     dW, dxu, dxe = out
