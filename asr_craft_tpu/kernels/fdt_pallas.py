@@ -202,19 +202,25 @@ def _lse3(a, b, c):
 _PI_CHUNK = 8   # cross pages per chunk: bounds live (chunk, P8, 2Bk) temps
 
 
-def _cross_lse_fwd(alpha_last, cross3):
-    """crossed[pj] = lse_pi(alpha_last[pi] + cross3[pi, pj]), chunked over
-    pi pages so the (P8, P8, 2Bk) intermediate never lives whole (the
-    full tensor blows the 16 MB VMEM stack when frames are unrolled)."""
-    P8 = cross3.shape[0]
-    acc = jnp.full(cross3.shape[1:], NEG_INF, jnp.float32)
+def _cross_lse_fwd(alpha_last, cross3b):
+    """crossed[pj] = lse_pi(alpha_last[pi] + cross[pi, pj]) for both
+    lattice halves, chunked over pi pages so the (chunk, P8, Bk)
+    intermediates never live whole.  ``cross3b`` (P8, P8, Bk) is the
+    SINGLE-lattice page tensor shared by the halves — processing the
+    halves separately against it avoids materializing the duplicated
+    (P8, P8, 2Bk) copy (one full VPU pass per frame, r4)."""
+    P8, _, Bk = cross3b.shape
+    acc = jnp.full((P8, 2 * Bk), NEG_INF, jnp.float32)
     for c in range(0, P8, _PI_CHUNK):
-        a_c = alpha_last[c:c + _PI_CHUNK]
-        v = a_c[:, None, :] + cross3[c:c + _PI_CHUNK]
-        m = jnp.maximum(jnp.max(v, axis=0), NEG_INF)
-        part = m + jnp.log(jnp.maximum(
-            jnp.sum(jnp.exp(v - m[None]), axis=0), 1e-35))
-        acc = _logaddexp(acc, part)
+        cc = cross3b[c:c + _PI_CHUNK]
+        parts = []
+        for h in (0, 1):
+            a_c = alpha_last[c:c + _PI_CHUNK, h * Bk:(h + 1) * Bk]
+            v = a_c[:, None, :] + cc
+            m = jnp.maximum(jnp.max(v, axis=0), NEG_INF)
+            parts.append(m + jnp.log(jnp.maximum(
+                jnp.sum(jnp.exp(v - m[None]), axis=0), 1e-35)))
+        acc = _logaddexp(acc, jnp.concatenate(parts, axis=1))
     return acc
 
 
@@ -226,9 +232,9 @@ def _factored_alpha_update(alpha, self_k, adv_k, cross_k, *, ns, P8):
     """
     LP = alpha.shape[0]
     Bk = self_k.shape[1]
-    cross3 = _dup(cross_k).reshape(P8, P8, 2 * Bk)
+    cross3b = cross_k.reshape(P8, P8, Bk)
     alpha_last = alpha[LP - P8:]
-    crossed = _cross_lse_fwd(alpha_last, cross3)
+    crossed = _cross_lse_fwd(alpha_last, cross3b)
     if ns == 1:
         return crossed
     c_self = alpha + _dup(self_k)
@@ -380,7 +386,8 @@ def _bwd_kernel(ns, P, P8, clamp_ns, boundaries, prec, TB, want_dfeats,
         d_adv_lo = wexp(alpha_t[:LP - P8] + _dup(nadv[:LP - P8]) + x[P8:])
         d_adv = jnp.concatenate(
             [d_adv_lo, jnp.zeros((P8, 2 * Bk), jnp.float32)], axis=0)
-        cross3 = _dup(ncross).reshape(P8, P8, 2 * Bk)
+        cross3b = ncross.reshape(P8, P8, Bk)   # single-lattice pages,
+        # shared by both lane halves (no duplicated copy — r4)
         alpha_last = alpha_t[LP - P8:]
         halves = lambda d: d[..., 0:Bk] + d[..., Bk:]
         if ns > 1:
@@ -390,24 +397,37 @@ def _bwd_kernel(ns, P, P8, clamp_ns, boundaries, prec, TB, want_dfeats,
             dplane[LP:3 * LP, nslot] = jnp.zeros((2 * LP, Bk), jnp.float32)
         # ---- fused beta-cross lse + cross xi --------------------------
         # Both need exp over the (pi, pj, 2Bk) cross plane; share one
-        # exponential pass: e1 = exp(c + x_first - m1), then
+        # exponential pass per half: e1 = exp(c + x_first - m1), then
         #   beta_cross[pi] = m1 + log(sum_pj e1)
         #   xi_cross[pi,pj] = e1 * w * exp(alpha_last[pi] + m1 - z)
         x_first = x[:P8]
-        m1 = jnp.full((1, 1, 2 * Bk), NEG_INF, jnp.float32)
-        for c in range(0, P8, _PI_CHUNK):
-            v = cross3[c:c + _PI_CHUNK] + x_first[None, :, :]
-            m1 = jnp.maximum(m1, jnp.max(v, axis=(0, 1), keepdims=True))
+        m1h = []
+        for h in (0, 1):
+            m = jnp.full((1, 1, Bk), NEG_INF, jnp.float32)
+            xf = x_first[:, h * Bk:(h + 1) * Bk]
+            for c in range(0, P8, _PI_CHUNK):
+                v = cross3b[c:c + _PI_CHUNK] + xf[None, :, :]
+                m = jnp.maximum(m, jnp.max(v, axis=(0, 1), keepdims=True))
+            m1h.append(m)
+        m1 = jnp.concatenate(m1h, axis=2)                 # (1, 1, 2Bk)
         srows = []
         for c in range(0, P8, _PI_CHUNK):
-            e1 = jnp.exp(cross3[c:c + _PI_CHUNK] + x_first[None, :, :]
-                         - m1)
-            srows.append(jnp.sum(e1, axis=1))             # (CH, 2Bk)
+            cc = cross3b[c:c + _PI_CHUNK]
             a_c = alpha_last[c:c + _PI_CHUNK]
             s2 = jnp.where(valid_n & live, jnp.exp(
                 jnp.minimum(a_c + m1[0] - z2, 40.0)) * w2, 0.0)
+            xi_acc = None
+            sr = []
+            for h in (0, 1):
+                xf = x_first[:, h * Bk:(h + 1) * Bk]
+                s2h = s2[:, h * Bk:(h + 1) * Bk]
+                e1 = jnp.exp(cc + xf[None, :, :] - m1h[h])
+                sr.append(jnp.sum(e1, axis=1))            # (CH, Bk)
+                contrib = e1 * s2h[:, None, :]
+                xi_acc = contrib if xi_acc is None else xi_acc + contrib
+            srows.append(jnp.concatenate(sr, axis=1))     # (CH, 2Bk)
             dplane[3 * LP + c * P8:3 * LP + (c + _PI_CHUNK) * P8, nslot] = \
-                halves(e1 * s2[:, None, :]).reshape(_PI_CHUNK * P8, Bk)
+                xi_acc.reshape(_PI_CHUNK * P8, Bk)
         cross_b = m1[0] + jnp.log(jnp.maximum(
             jnp.concatenate(srows, axis=0), 1e-35))       # (P8, 2Bk)
 
