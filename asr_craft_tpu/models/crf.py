@@ -249,7 +249,23 @@ def decode(cfg: CrfConfig, params, feats, lengths, sparse=None,
 
 
 def frame_posteriors(cfg: CrfConfig, params, feats, lengths, sparse=None):
-    """(B, T, L') label posteriors — the parity tensor surface."""
+    """(B, T, L') label posteriors — the parity tensor surface.
+
+    Frame-dependent-transition configs ride the factored scan
+    (ops.fdt.fdt_posteriors) so the surface exists at shapes where the
+    (B, T, L', L') tensor does not; sparse inputs densify exactly."""
+    if cfg.fmap.frame_dependent_trans:
+        if cfg.featuremap == "sparse":
+            if sparse is None:
+                raise ValueError(
+                    "sparse feature map needs sparse=(indices, values)")
+            feats = densify_sparse(sparse[0], sparse[1], cfg.feat_dim)
+        state, selfp, advp, crossp = fdt.factored_planes(
+            params, feats, cfg.fmap.num_expanded, cfg.num_states,
+            cfg.fmap.state_range, cfg.fmap.trans_range,
+            cfg.fmap.use_state_bias, cfg.fmap.precision)
+        return fdt.fdt_posteriors(state, selfp, advp, crossp, lengths,
+                                  cfg.num_states, cfg.enforce_boundaries)
     state, trans = potentials(cfg, params, feats, sparse)
     state = apply_boundaries(cfg, state, lengths)
     if trans.ndim == 2:

@@ -44,7 +44,7 @@ import numpy as np
 from asr_craft_tpu.ops.semiring import NEG_INF
 
 __all__ = ["factored_trans_weights", "factored_planes", "fdt_logZ_pair",
-           "fdt_nll_dual", "fdt_viterbi"]
+           "fdt_nll_dual", "fdt_viterbi", "fdt_posteriors"]
 
 
 def _adv_valid(Lp: int, ns: int) -> np.ndarray:
@@ -252,6 +252,76 @@ def fdt_nll_dual(fmap_cfg, ns: int, params, feats, labels, lengths,
     zf, zc = fdt_logZ_pair(state, selfp, advp, crossp, labels, lengths,
                            ns, clamp_ns, boundaries)
     return zf - zc, zf, zc
+
+
+@functools.partial(jax.jit, static_argnames=("ns", "boundaries"))
+def fdt_posteriors(state, selfp, advp, crossp, lengths, ns: int,
+                   boundaries: bool = True):
+    """(B, T, L') frame posteriors over the factored frame-dependent
+    lattice — the parity tensor surface at shapes where the materialized
+    ``(B, T, L', L')`` path (ops.fwdbwd.posteriors_batch) cannot exist.
+    Forward + backward factored scans; gamma = alpha + beta - logZ.
+    Held to the materialized path at small shapes (tests/oracle/test_fdt).
+    """
+    B, T, Lp = state.shape
+    state = _boundary_state(state, lengths, ns, boundaries)
+    state_tm = jnp.moveaxis(state, 1, 0)
+    cross_tm = jnp.moveaxis(crossp, 1, 0)
+    if ns > 1:
+        self_tm = jnp.moveaxis(selfp, 1, 0)
+        adv_tm = jnp.moveaxis(advp, 1, 0)
+    else:
+        self_tm = adv_tm = jnp.zeros((T, B, 1), state.dtype)
+    st_ = jnp.arange(Lp) % ns
+
+    @jax.checkpoint
+    def fwd_step(af, inp):
+        t, s_t, f_t, a_t, c_t = inp
+        cand = _factored_update(af, f_t, a_t, c_t, ns) + s_t
+        valid = (t < lengths)[:, None]
+        new = jnp.where(valid, cand, af)
+        return new, new
+
+    ts = jnp.arange(1, T)
+    af_last, alphas_rest = jax.lax.scan(
+        fwd_step, state_tm[0],
+        (ts, state_tm[1:], self_tm[1:], adv_tm[1:], cross_tm[1:]))
+    alphas = jnp.concatenate([state_tm[0][None], alphas_rest], axis=0)
+    logZ = _lse(af_last, -1)                                # (B,)
+
+    @jax.checkpoint
+    def bwd_step(bt, inp):
+        # planes at frame t+1; bt = beta[t+1]
+        t, s_n, f_n, a_n, c_n = inp
+        x = bt + s_n                                        # (B, L')
+        if ns == 1:
+            # beta[t][p] = lse_q(x[q] + c_{t+1}[p, q])
+            nb = _lse(x[:, None, :] + c_n, axis=2)
+        else:
+            self_c = x + f_n
+            adv_c = jnp.where(st_[None, :] < ns - 1,
+                              jnp.roll(x, -1, axis=-1) + a_n, NEG_INF)
+            x_first = x[:, 0::ns]                           # (B, P)
+            crossed = _lse(x_first[:, None, :] + c_n, axis=2)   # (B, P)
+            cross_c = jnp.where(st_[None, :] == ns - 1,
+                                jnp.repeat(crossed, ns, axis=-1), NEG_INF)
+            nb = jnp.logaddexp(self_c, jnp.logaddexp(adv_c, cross_c))
+        # frames at/after length-1 keep beta = 0 (the init)
+        valid_next = (t + 1 < lengths)[:, None]
+        nb = jnp.where(valid_next, nb, bt)
+        return nb, nb
+
+    beta_last = jnp.zeros((B, Lp), state.dtype)
+    _, betas_rev = jax.lax.scan(
+        bwd_step, beta_last,
+        (jnp.arange(T - 1), state_tm[1:], self_tm[1:], adv_tm[1:],
+         cross_tm[1:]), reverse=True)
+    betas = jnp.concatenate([betas_rev, beta_last[None]], axis=0)
+    gamma = alphas + betas - logZ[None, :, None]
+    post = jnp.exp(jnp.minimum(gamma, 0.0))
+    Tidx = jnp.arange(T)[:, None, None]
+    post = jnp.where(Tidx < lengths[None, :, None], post, 0.0)
+    return jnp.moveaxis(post, 0, 1)
 
 
 @functools.partial(jax.jit, static_argnames=("ns", "boundaries",

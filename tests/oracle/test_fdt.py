@@ -152,3 +152,28 @@ def test_padding_inert(rng):
                                  True)
     np.testing.assert_allclose(np.asarray(zf), np.asarray(zf2), **TOL)
     np.testing.assert_allclose(np.asarray(zc), np.asarray(zc2), **TOL)
+
+
+@pytest.mark.parametrize("ns", [1, 2, 3])
+def test_fdt_posteriors_match_materialized(rng, ns):
+    """fdt_posteriors (factored scans, no (B,T,L',L') tensor) == the
+    materialized fwdbwd.posteriors_batch on small shapes."""
+    from asr_craft_tpu.models.crf import (CrfConfig, apply_boundaries,
+                                          frame_posteriors, potentials)
+    from asr_craft_tpu.ops import fwdbwd
+
+    P, D = 4, 7
+    cfg = CrfConfig(num_labels=P, feat_dim=D, num_states=ns,
+                    state_range=(0, D), trans_range=(1, D))
+    params = cfg.init_params(jax.random.PRNGKey(3), scale=0.3)
+    B, T = 3, 9
+    feats = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+    lengths = jnp.asarray([T, T - 2, 4], jnp.int32)
+    post = frame_posteriors(cfg, params, feats, lengths)
+    state, trans = potentials(cfg, params, feats)
+    state = apply_boundaries(cfg, state, lengths)
+    ref = fwdbwd.posteriors_batch(state, trans, lengths)
+    ref = jnp.where(jnp.arange(T)[None, :, None] < lengths[:, None, None],
+                    ref, 0.0)
+    np.testing.assert_allclose(np.asarray(post), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
