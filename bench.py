@@ -152,7 +152,7 @@ def bench_decode(steps=30, warmup=3):
     return DECODE_B * T * FRAME_S / dt, dt
 
 
-def bench_decode_floor(Ts=(64, 128, 256, 512), steps=20):
+def bench_decode_floor(Ts=(64, 256, 512), steps=12):
     """Measured decode latency-floor model (VERDICT r2 next #4): a T-sweep
     of the fused decode at the bench batch isolates the per-frame serial
     cost b in t(T) = a + b*T (a absorbs per-launch device constants; the
