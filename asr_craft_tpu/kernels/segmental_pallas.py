@@ -9,13 +9,14 @@ scores) and reconstructs each segment potential in VMEM:
 
     seg[t, d, l] = pool(cum[t+1, l] - cum[t-d, l]) + b_dur[d, l] + b_seg[l]
 
-carrying two rolling (Dmax, B, L) VMEM windows: the last Dmax alphas and the
-last Dmax cumulative rows.  The duration-message reduction rides the MXU via
-the same rescaled-exp trick as the linear-chain kernels:
+carrying rolling (Dmax, B, L) VMEM windows.  The duration-message
+reduction rides the MXU via the same rescaled-exp trick as the
+linear-chain kernels, computed ONCE per source frame (r4):
 
-    msg[d] = m_d + tmax + log(exp(alpha[t-1-d] - m_d) @ P)
+    q[u] = m_u + tmax + log(exp(alpha[u] - m_u) @ P);  msg[t, d] = q[t-1-d]
 
-with the (Dmax*B, L) x (L, L) matmul batched over durations.
+— one (B, L) @ (L, L) dot per frame instead of the (Dmax*B, L) window dot
+(Dmax-fold redundant), identical numerics.
 
 Log semiring only (training/scoring); segmental Viterbi decode stays on the
 XLA path (max-plus over durations doesn't factor through exp).
@@ -44,30 +45,31 @@ _TBLK = 8   # frames per grid step: amortizes per-step issue/DMA overhead
 
 
 def _seg_fwd_kernel(TB, len_ref, cum_ref, P_ref, tmax_ref, bias_ref,
-                    invd_ref, alphas_ref, alpha_buf, cum_buf):
+                    invd_ref, alphas_ref, q_buf, cum_buf):
     # Grid: (Tp/TB,); step i processes frames t = i*TB + k, consuming
     # cum[t+1] and emitting alpha[t].
-    # alpha_buf[j] = alpha[t-1-j]; cum_buf[j] = cum[t-j]   (j < Dmax)
+    #
+    # The duration message for (t, d) is q[t-1-d] where
+    #   q[u] = m_u + tmax + log(exp(alpha[u] - m_u) @ P)
+    # depends only on u — so q is computed ONCE per frame on (B, L) and
+    # rolled, instead of re-running the (Dmax*B, L) @ (L, L) dot over the
+    # whole alpha window every frame (Dmax-fold redundant MXU + exp work;
+    # identical numerics — same per-row max).  The Viterbi kernel has
+    # used the same M-window restructure since r3.
+    # q_buf[j] = q[t-1-j]; cum_buf[j] = cum[t-j]   (j < Dmax)
     i = pl.program_id(0)
-    Dmax, B, L = alpha_buf.shape
+    Dmax, B, L = q_buf.shape
 
     @pl.when(i == 0)
     def _():
-        alpha_buf[:] = jnp.full_like(alpha_buf, NEG_INF)
+        q_buf[:] = jnp.full_like(q_buf, NEG_INF)
         cum_buf[:] = jnp.zeros_like(cum_buf)   # cum[0] = 0
 
     for k in range(TB):
         t = i * TB + k
         cum_now = cum_ref[k]                                # (B, L): cum[t+1]
 
-        # duration messages on the MXU: (Dmax*B, L) @ (L, L)
-        a = alpha_buf[:]                                    # (Dmax, B, L)
-        m = jnp.maximum(jnp.max(a, axis=-1, keepdims=True), NEG_INF)
-        prod = jnp.dot(jnp.exp(a - m).reshape(Dmax * B, L), P_ref[:],
-                       preferred_element_type=jnp.float32
-                       ).reshape(Dmax, B, L)
-        msg = m + tmax_ref[0:1, :][None] + jnp.log(
-            jnp.maximum(prod, 1e-38))
+        msg = q_buf[:]                                      # (Dmax, B, L)
         # d == t: segment starts at frame 0 — no predecessor (semiring
         # one); d > t: structurally invalid.
         ds = jax.lax.broadcasted_iota(jnp.int32, (Dmax, 1, 1), 0)
@@ -89,9 +91,14 @@ def _seg_fwd_kernel(TB, len_ref, cum_ref, P_ref, tmax_ref, bias_ref,
         alpha_t = jnp.where(valid, alpha_t, NEG_INF)
 
         alphas_ref[k] = alpha_t
+        # this frame's outgoing message: one (B, L) @ (L, L) MXU dot
+        m_t = jnp.maximum(jnp.max(alpha_t, axis=-1, keepdims=True),
+                          NEG_INF)
+        q_t = m_t + tmax_ref[0:1, :] + jnp.log(jnp.maximum(
+            jnp.dot(jnp.exp(alpha_t - m_t), P_ref[:],
+                    preferred_element_type=jnp.float32), 1e-38))
         # roll windows: newest first
-        alpha_buf[:] = jnp.concatenate([alpha_t[None], alpha_buf[:-1]],
-                                       axis=0)
+        q_buf[:] = jnp.concatenate([q_t[None], q_buf[:-1]], axis=0)
         cum_buf[:] = jnp.concatenate([cum_now[None], cum_buf[:-1]], axis=0)
 
 
@@ -301,15 +308,19 @@ def segmental_backward_pallas(cum, trans, bias, lengths, max_dur: int,
 def _seg_grad_kernel(TB, Tlim, len_ref, g_ref, logz_ref, cum_ref, alpha_ref,
                      beta_ref, P_ref, tmax_ref, bias_ref, invd_ref,
                      A_ref, S_ref, acc_ref, gt_ref, gd_ref,
-                     alpha_buf, cs_buf):
+                     alpha_buf, cs_buf, q_buf):
     # Ascending TB-frame blocks: xi[t, d] for all d in VMEM, accumulating
     # the gradient pieces (ops.segmental_stream._grad_scan, in-kernel).
+    # pred[t, d] = q[t-1-d] rides a rolled q window computed once per
+    # frame (see _seg_fwd_kernel); the raw alpha window stays for the
+    # U^T V transition contraction.
     i = pl.program_id(0)
     Dmax, B, L = alpha_buf.shape
 
     @pl.when(i == 0)
     def _():
         alpha_buf[:] = jnp.full_like(alpha_buf, NEG_INF)
+        q_buf[:] = jnp.full_like(q_buf, NEG_INF)
         cs_buf[:] = jnp.zeros_like(cs_buf)
         acc_ref[:] = jnp.zeros_like(acc_ref)
         gt_ref[:] = jnp.zeros_like(gt_ref)
@@ -324,15 +335,11 @@ def _seg_grad_kernel(TB, Tlim, len_ref, g_ref, logz_ref, cum_ref, alpha_ref,
         gB = g_ref[:, 0:1][None]                            # (1, B, 1)
         ds = jax.lax.broadcasted_iota(jnp.int32, (Dmax, 1, 1), 0)
 
-        m = jnp.maximum(jnp.max(alpha_buf[:], axis=-1, keepdims=True),
-                        NEG_INF)
-        prod = jnp.dot(jnp.exp(alpha_buf[:] - m).reshape(Dmax * B, L),
-                       P_ref[:], preferred_element_type=jnp.float32
-                       ).reshape(Dmax, B, L)
-        pred = m + tmax_ref[0:1, :][None] + jnp.log(
-            jnp.maximum(prod, 1e-38))
+        pred = q_buf[:]
         pred = jnp.where(ds == t, 0.0, pred)
         pred = jnp.where(ds > t, NEG_INF, pred)
+        m = jnp.maximum(jnp.max(alpha_buf[:], axis=-1, keepdims=True),
+                        NEG_INF)
 
         invd = invd_ref[:, 0:1].reshape(Dmax, 1, 1)
         seg = (cum_now[None] - cs_buf[:]) * invd \
@@ -366,6 +373,12 @@ def _seg_grad_kernel(TB, Tlim, len_ref, g_ref, logz_ref, cum_ref, alpha_ref,
             U, V, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
+        m_t = jnp.maximum(jnp.max(alpha_t, axis=-1, keepdims=True),
+                          NEG_INF)
+        q_t = m_t + tmax_ref[0:1, :] + jnp.log(jnp.maximum(
+            jnp.dot(jnp.exp(alpha_t - m_t), P_ref[:],
+                    preferred_element_type=jnp.float32), 1e-38))
+        q_buf[:] = jnp.concatenate([q_t[None], q_buf[:-1]], axis=0)
         alpha_buf[:] = jnp.concatenate([alpha_t[None], alpha_buf[:-1]],
                                        axis=0)
         cs_buf[:] = jnp.concatenate([cum_now[None], cs_buf[:-1]], axis=0)
@@ -438,6 +451,7 @@ def segmental_grad_pallas(cum, trans, bias, lengths, alphas, betas, logZ, g,
             jax.ShapeDtypeStruct((Dmax, Lp), jnp.float32),
         ],
         scratch_shapes=[
+            pltpu.VMEM((Dmax, Bp, Lp), jnp.float32),
             pltpu.VMEM((Dmax, Bp, Lp), jnp.float32),
             pltpu.VMEM((Dmax, Bp, Lp), jnp.float32),
         ],
