@@ -53,6 +53,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="top-k pruning (None = exact)")
     p.add_argument("--beam_threshold", type=float, default=None,
                    help="score-margin pruning (Pallas path)")
+    # --- time-sharded (lattice-sharded) decode (config 5) ---
+    p.add_argument("--time_shard", type=int, default=0,
+                   help="shard the time axis of the Viterbi lattice over "
+                   "N devices (associative max-plus scan; boundary state "
+                   "exchanged via collectives).  Wins for long utterances "
+                   "with --shard_beam_labels; 0/1 = off")
+    p.add_argument("--shard_beam_labels", type=int, default=None,
+                   help="with --time_shard: per-chunk top-K label "
+                   "survivor pruning (the collective-exchanged pruning "
+                   "state; None = exact)")
     # --- FST word decode (the reference CRFFstDecode mode) ---
     p.add_argument("--lexicon", help="pronunciation lexicon: one "
                    "'word ph1 ph2 ...' per line (phone names resolved via "
@@ -143,6 +153,16 @@ def main(argv=None) -> int:
     if args.lexicon:
         return _word_decode(args, cfg, params, loader, names, logger)
 
+    if args.time_shard and args.time_shard > 1:
+        import jax
+        if args.time_shard > len(jax.devices()):
+            raise SystemExit(
+                f"--time_shard {args.time_shard} needs that many devices "
+                f"(have {len(jax.devices())})")
+        if args.beam_width or args.beam_threshold:
+            raise SystemExit("--time_shard prunes via --shard_beam_labels; "
+                             "--beam_width/--beam_threshold do not apply")
+
     fold = timit_fold_indices() if args.timit_fold else None
     scorer = ErrorRateScorer()
     hyp_mlf = {}
@@ -151,11 +171,20 @@ def main(argv=None) -> int:
         sparse = (None if "sparse_idx" not in batch else
                   (jnp.asarray(batch["sparse_idx"]),
                    jnp.asarray(batch["sparse_val"])))
-        phones, _, scores = decode(
-            cfg, params,
-            None if sparse else jnp.asarray(batch["feats"]),
-            jnp.asarray(batch["lengths"]), sparse=sparse,
-            beam_width=args.beam_width, beam_threshold=args.beam_threshold)
+        if args.time_shard and args.time_shard > 1:
+            from asr_craft_tpu.parallel.timeshard import sharded_decode
+            phones, _, scores = sharded_decode(
+                cfg, params,
+                None if sparse else jnp.asarray(batch["feats"]),
+                jnp.asarray(batch["lengths"]), args.time_shard,
+                beam_labels=args.shard_beam_labels, sparse=sparse)
+        else:
+            phones, _, scores = decode(
+                cfg, params,
+                None if sparse else jnp.asarray(batch["feats"]),
+                jnp.asarray(batch["lengths"]), sparse=sparse,
+                beam_width=args.beam_width,
+                beam_threshold=args.beam_threshold)
         phones = np.asarray(phones)
         if have_refs:
             refs = []

@@ -73,13 +73,14 @@ def _mm(a, b, prec, dims=None):
     the cost of the 6-pass HIGHEST emulation; Mosaic has no HIGH lowering
     in-kernel, so we emulate it explicitly (VERDICT r2 next #7).
 
-    The two mixed terms ride ONE dot with the operands stacked along the
-    contraction axis ([a_hi | a_lo] @ [b_lo ; b_hi]) — same three products
-    and the same f32 accumulation, but 2 MXU launches instead of 3 and
-    ceil(2K/128) K-tiles instead of 2*ceil(K/128): at the flagship K=152
-    that is 5 K-tile passes instead of 6 (the K padding to the 128 MXU
-    tile is the formation matmul's entire efficiency gap — profiled at
-    100% of K-padded speed, runs/profile_fdt.py r4).
+    All three products ride ONE dot with the operands tripled along the
+    contraction axis ([a_hi | a_hi | a_lo] @ [b_hi ; b_lo ; b_hi]) — the
+    same f32 accumulation, but a single MXU launch with ceil(3K/128)
+    K-tiles instead of the 2*ceil(K/128) + ceil(2K/128) of separate dots:
+    at the flagship K=152 that is 4 K-tile passes instead of 5/6 (the K
+    padding to the 128 MXU tile is the formation matmul's entire
+    efficiency gap — profiled at 100% of K-padded speed,
+    runs/profile_fdt.py r4).
     """
     dims = dims or (((1,), (0,)), ((), ()))
     if prec != "bf16x3":
@@ -832,30 +833,48 @@ def _first_argmax_rows(x):
     return m, a
 
 
-def _kth_col_value(delta, K, span=1e5, iters=40):
+_INT32_MIN = -2147483648
+
+
+def _f32_key(x):
+    """Monotone int32 key of an f32 plane: a <= b  <=>  key(a) <= key(b)
+    for all finite values (and +-0 map to the same key): positive floats
+    order as their raw bit patterns; negative floats are reflected with
+    INT32_MIN - bits."""
+    b = jax.lax.bitcast_convert_type(x, jnp.int32)
+    return jnp.where(b >= 0, b, jnp.int32(_INT32_MIN) - b)
+
+
+def _kth_col_value(delta, K, iters=32):
     """Per-column EXACT K-th-largest value of ``delta`` (reduction over
-    rows).  Mosaic has no in-kernel sort/top_k; this bisects the value
-    domain until (lo, hi) are adjacent floats around v_K — the invariants
-    count(>= lo) >= K and count(>= hi) < K pin v_K in [lo, hi), and the
-    final pass max(delta | delta < hi) recovers it exactly, so the
-    kept set {delta >= v_K} matches jax.lax.top_k + ">= kth" (the XLA
-    path's prune, ties-at-kth all kept) bit-for-bit.  ~40 count passes
-    over the (LP, Bk) plane per frame (~0.25 ms over T=512 at flagship
-    decode shape)."""
-    m = jnp.max(delta, axis=0, keepdims=True)
-    lo = m - span
-    hi = m + 1.0
+    rows).  Mosaic has no in-kernel sort/top_k; this bisects the monotone
+    int32 KEY image of the f32 values (see :func:`_f32_key`), which
+    guarantees adjacent-key convergence in <= 32 iterations with an
+    overflow-free integer midpoint — no value-span assumption (the old
+    f32-domain bisection left a ~9e-8-wide bracket near |delta|~1 and
+    silently ignored values > 1e5 below the column max; ADVICE r4).  The
+    invariants count(key >= lo) >= K and count(key >= hi) < K pin
+    key(v_K) == lo at convergence, and the final pass
+    max(delta | key <= lo) recovers v_K exactly, so the kept set
+    {delta >= v_K} matches jax.lax.top_k + ">= kth" (the XLA path's
+    prune, ties-at-kth all kept) bit-for-bit.  ~32 count passes over the
+    (LP, Bk) plane per frame."""
+    key = _f32_key(delta)
+    lo = jnp.min(key, axis=0, keepdims=True)        # count(>= lo) = rows >= K
+    hi = jnp.max(key, axis=0, keepdims=True) + 1    # count(>= hi) = 0   <  K
 
     def body(_, lohi):
         lo, hi = lohi
-        mid = 0.5 * (lo + hi)
-        cnt = jnp.sum((delta >= mid).astype(jnp.float32), axis=0,
+        # overflow-free floor((lo + hi) / 2); when hi == lo + 1 this is lo
+        # and the bracket is a fixed point, so extra iterations are inert
+        mid = (lo >> 1) + (hi >> 1) + (lo & hi & 1)
+        cnt = jnp.sum((key >= mid).astype(jnp.float32), axis=0,
                       keepdims=True)
         take = cnt >= K
         return (jnp.where(take, mid, lo), jnp.where(take, hi, mid))
 
     lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
-    return jnp.max(jnp.where(delta < hi, delta, NEG_INF), axis=0,
+    return jnp.max(jnp.where(key <= lo, delta, NEG_INF), axis=0,
                    keepdims=True)
 
 

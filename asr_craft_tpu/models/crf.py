@@ -133,10 +133,11 @@ def crf_loss(cfg: CrfConfig, params, feats, labels, lengths, sparse=None,
     numerator scores (the reference logs logZx per utterance).
 
     ``grad_feats``: set True when differentiating through ``feats`` (an
-    upstream encoder / input saliency).  The fused fdt Pallas path only
-    computes the feature cotangent when asked (and stop_gradients feats
-    otherwise, so a forgotten flag fails loudly as a disconnected graph
-    rather than silently training an encoder at zero gradient).
+    upstream encoder / input saliency).  When False (the default), feats
+    is stop_gradient'ed on BOTH backends, so the feature cotangent is
+    exactly zero — silently, not loudly: an encoder trained without
+    setting this flag receives zero gradient.  The fused fdt Pallas path
+    additionally skips computing the cotangent at all.
     """
     if cfg.fmap.frame_dependent_trans:
         # topology-factored fast path (ops.fdt): never materializes the

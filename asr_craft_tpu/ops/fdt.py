@@ -230,11 +230,14 @@ def fdt_nll_dual(fmap_cfg, ns: int, params, feats, labels, lengths,
     (plane formation on the in-kernel MXU, classical-gradient VJP) on TPU
     when the shape is eligible; the factored XLA scan elsewhere.
 
-    ``grad_feats``: the Pallas path computes the feature cotangent only
-    when asked (kernels.fdt_pallas.fdt_nll_dual_pallas docstring); the XLA
-    path always differentiates feats naturally.
+    ``grad_feats``: uniform contract on BOTH backends — when False, feats
+    is stop_gradient'ed, so ``dfeats`` is exactly zero regardless of
+    whether the Pallas kernel or the factored XLA scan runs (the Pallas
+    path additionally skips computing the cotangent at all).
     """
     from asr_craft_tpu import kernels
+    if not grad_feats:
+        feats = jax.lax.stop_gradient(feats)
     Lp = fmap_cfg.num_expanded
     clamp_ns = ns if clamp_ns is None else clamp_ns
     P = Lp // ns

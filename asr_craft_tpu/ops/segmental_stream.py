@@ -689,6 +689,12 @@ def _seg_traceback_deltas(arg_d, deltas, trans, lab0, lengths, T):
                                                      lengths)
 
 
+# Above this many one-hot elements (B*T*T), the MXU packing's (B, T, T)
+# tensor is a memory cliff (4 GB at B=4, T=16384) — switch to the O(T log T)
+# argsort form (ADVICE r4 low).
+_PACK_ONEHOT_MAX_ELEMS = 1 << 26
+
+
 def _pack_segment_markers(end_lab, end_start):
     """(T, B) per-frame segment-end markers (label or -1, start frame) ->
     the fixed-size ascending (B, T) starts/labels/n layout.
@@ -699,13 +705,28 @@ def _pack_segment_markers(end_lab, end_start):
     ``out[k] = sum_t [ends[t] and cs[t]==k+1] * v[t]`` on the MXU.
     The r3 vmapped-searchsorted form measured 3.7 ms at the production
     decode shape (most of the decode!); this is ~0.3 ms.  Values are
-    exact in f32 (< 2^24)."""
+    exact in f32 (< 2^24).
+
+    Above ``_PACK_ONEHOT_MAX_ELEMS`` one-hot elements (long-form T), the
+    (B, T, T) tensor would dominate memory; a single batched argsort on
+    the unique key ``cs-1 if marker else T+t`` (markers first, in slot
+    order) does the same permutation in O(B T log T) — exact, no
+    float roundtrip."""
     T, B = end_lab.shape
     ol = jnp.transpose(end_lab)                               # (B, T)
     os = jnp.transpose(end_start)
     ends = ol >= 0
     cs = jnp.cumsum(ends.astype(jnp.int32), axis=1)           # (B, T)
     n = cs[:, -1]
+    if B * T * T > _PACK_ONEHOT_MAX_ELEMS:
+        t_idx = jnp.arange(T, dtype=jnp.int32)[None, :]
+        key = jnp.where(ends, cs - 1, T + t_idx)              # unique per row
+        order = jnp.argsort(key, axis=1)                      # markers first
+        starts_s = jnp.take_along_axis(os, order, axis=1)
+        labels_s = jnp.take_along_axis(ol, order, axis=1)
+        in_n = t_idx < n[:, None]
+        return (jnp.where(in_n, starts_s, 0),
+                jnp.where(in_n, labels_s, 0), n)
     E = (ends[:, None, :]
          & (cs[:, None, :] == jnp.arange(1, T + 1)[None, :, None])
          ).astype(jnp.float32)                                # (B, k, t)

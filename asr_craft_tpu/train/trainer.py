@@ -75,7 +75,14 @@ def _prefetch_device(batches, convert, depth: int):
     and the (async-dispatched) device transfers overlap the current
     step's compute.  ``depth == 0`` degrades to the synchronous loop.
     JAX dispatch is thread-safe; items cross threads as already-placed
-    device arrays."""
+    device arrays.
+
+    If the consumer abandons the generator mid-epoch (break/exception in
+    the epoch loop -> GeneratorExit), the ``finally`` sets a stop event;
+    the worker uses bounded ``put`` timeouts so it notices within a
+    second and exits, releasing the thread, its queued device buffers,
+    and the loader iterator (ADVICE r4 low — previously one blocked
+    thread leaked per abandoned epoch)."""
     if depth <= 0:
         for b in batches:
             yield convert(b)
@@ -85,25 +92,39 @@ def _prefetch_device(batches, convert, depth: int):
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     _END = object()
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=1.0)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for b in batches:
-                q.put(convert(b))
-            q.put(_END)
+                if not _put(convert(b)):
+                    return
+            _put(_END)
         except BaseException as e:          # surface loader errors
-            q.put(e)
+            _put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        yield item
-    t.join()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+        t.join()
+    finally:
+        stop.set()
 
 
 def make_optimizer(tc: TrainConfig, epoch: int = 0) -> optax.GradientTransformation:

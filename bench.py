@@ -357,7 +357,7 @@ def bench_roofline(train_dt, decode_dt):
     return train, dec
 
 
-def bench_scaling(per_device_batch=16, T=T, steps=6):
+def bench_scaling(per_device_batch=16, T=T, steps=6, check=False):
     """Weak-scaling harness (VERDICT r3 weak #5 / next #6): audio-s/s of
     the DP-sharded flagship train step at 1..N devices, per-device batch
     held fixed; efficiency = tput(n) / (n * tput(1)).  On a pod this is
@@ -365,10 +365,17 @@ def bench_scaling(per_device_batch=16, T=T, steps=6):
     --scaling``); on this environment's single chip only n=1 runs, and
     the 8-device forced CPU mesh exercises the mechanics (CPU devices
     share host cores, so efficiency there asserts plumbing, not speed —
-    runs/fill_baseline.py scaling_mechanics records it)."""
+    runs/fill_baseline.py scaling_mechanics records it).
+
+    ``check`` (``--scaling --check``, VERDICT r4 next #8): per device
+    count, assert the DP-sharded loss AND grads equal the single-device
+    values on the SAME global batch (fp32-tiered tolerance: DP psum
+    reorders the batch reduction), so the first real pod run validates
+    numerics and measures efficiency in one command."""
     import jax
     import jax.numpy as jnp
     from __graft_entry__ import _flagship, _tiny_batch
+    from asr_craft_tpu.models.crf import crf_loss
     from asr_craft_tpu.parallel.mesh import (make_batch_put, make_mesh,
                                              replicate_tree)
     from asr_craft_tpu.train import TrainConfig, make_train_step
@@ -379,6 +386,29 @@ def bench_scaling(per_device_batch=16, T=T, steps=6):
     tc = TrainConfig(lr=0.1, steps_per_call=4)
     rows = {}
     base = None
+
+    def _check_numerics(mesh, put, n, hb):
+        p0 = cfg.init_params(scale=0.01)
+        lg = jax.jit(jax.value_and_grad(lambda p, b: crf_loss(
+            cfg, p, b["feats"], b["labels"], b["lengths"])[0]))
+        loss_1, g_1 = lg(p0, jax.device_put(
+            {k: jnp.asarray(v) for k, v in hb.items()},
+            jax.devices()[0]))
+        loss_n, g_n = lg(replicate_tree(mesh, p0), put(hb))
+        loss_rel = abs(float(loss_n) - float(loss_1)) / max(
+            abs(float(loss_1)), 1e-30)
+        gmax = 0.0
+        for a, b in zip(jax.tree.leaves(g_1), jax.tree.leaves(g_n)):
+            a, b = np.asarray(a), np.asarray(b)
+            # scale-relative: |a-b|_inf over the leaf's own magnitude —
+            # elementwise relative error on near-zero entries only
+            # measures psum reassociation noise, not wrongness
+            gmax = max(gmax, float(np.max(np.abs(a - b))
+                                   / max(float(np.max(np.abs(a))), 1e-30)))
+        ok = loss_rel < 1e-5 and gmax < 1e-4
+        return {"loss_rel": float(f"{loss_rel:.3g}"),
+                "grad_max_rel": float(f"{gmax:.3g}"), "ok": bool(ok)}
+
     for n in ns:
         mesh = make_mesh(n)
         put = make_batch_put(mesh)
@@ -387,7 +417,8 @@ def bench_scaling(per_device_batch=16, T=T, steps=6):
         opt_state = replicate_tree(mesh, opt.init(params))
         avg = params
         B = per_device_batch * n
-        batch = put(_tiny_batch(cfg, B=B, T=T))
+        hb = _tiny_batch(cfg, B=B, T=T)
+        batch = put(hb)
         stacked = jax.tree.map(
             lambda x: jnp.broadcast_to(x[None], (4,) + x.shape), batch)
         lr = jnp.float32(tc.lr)
@@ -411,13 +442,18 @@ def bench_scaling(per_device_batch=16, T=T, steps=6):
         rows[n] = {"audio_s_per_s": round(tput, 1),
                    "ms_per_step": round(dt * 1e3, 3),
                    "efficiency": round(tput / (n * base), 3)}
+        if check:
+            rows[n]["check"] = _check_numerics(mesh, put, n, hb)
+    if check:
+        rows["check_ok"] = all(rows[n]["check"]["ok"] for n in ns)
     return rows
 
 
 def main():
     import sys
     if "--scaling" in sys.argv:
-        print(json.dumps({"scaling": bench_scaling()}))
+        print(json.dumps(
+            {"scaling": bench_scaling(check="--check" in sys.argv)}))
         return
     train_tput, train_dt, loss = bench_train_step(precision=TRAIN_PRECISION)
     # fp32 (HIGHEST) reference point: the parity-bar precision, and the

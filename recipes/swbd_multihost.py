@@ -12,15 +12,29 @@ Multi-host launch (one command per host):
     JAX_PROCESS_ID=<i> python recipes/swbd_multihost.py --ftr1_file ...
 
 Single-host it runs data-parallel over the local devices.  Time-sharded
-("lattice-sharded") decode is exercised separately via
-asr_craft_tpu.parallel.timeshard (see tests/dist/test_timeshard.py).
+("lattice-sharded") decode is a CLI feature:
+
+    python -m asr_craft_tpu.cli.decode ... --time_shard 8 \
+        [--shard_beam_labels 12]
+
+(asr_craft_tpu.parallel.timeshard.sharded_decode; exact vs unsharded,
+or vs the survivor-masked lattice when pruned — the regime where it wins
+wall-clock: 3.1x at T=16384, K=12.  tests/e2e/test_cli_timeshard.py.)
 
 Run:  python recipes/swbd_multihost.py [--ftr1_file swbd.pfile ...]
 
 Pod scaling measurement (the BASELINE >=80% audio-s/s bar): on any slice,
-``python bench.py --scaling`` runs the DP-sharded flagship step at
-1..N devices with fixed per-device batch and prints efficiency vs the
-1-device point (mechanics pre-verified on the forced 8-device CPU mesh —
+
+    python bench.py --scaling --check
+
+runs the DP-sharded flagship step at 1..N devices with fixed per-device
+batch and prints efficiency vs the 1-device point; ``--check``
+additionally asserts, per device count, that the DP loss and grads equal
+the single-device values on the same global batch (fp32-tiered
+tolerance), so one command validates numerics AND measures efficiency.
+The check passes on the forced 8-device CPU mesh
+(tests/dist/test_data_parallel.py::test_scaling_check_mesh; efficiency
+there measures shared host cores, not chips — see
 runs/baseline_table.json scaling_mechanics).
 """
 import os

@@ -104,3 +104,14 @@ def test_uneven_last_batch_via_padding(rng):
     sub = {k: v[:6] for k, v in batch.items()}
     subset = float(jax.jit(loss_sum)(params, sub))
     np.testing.assert_allclose(full, subset, rtol=1e-6)
+
+def test_scaling_check_mesh():
+    """bench.py --scaling --check self-validates on the forced 8-device
+    CPU mesh: per device count, DP-sharded loss/grads == single-device
+    values on the same global batch (VERDICT r4 next #8)."""
+    import bench
+    rows = bench.bench_scaling(per_device_batch=1, T=32, steps=2,
+                               check=True)
+    assert rows["check_ok"], rows
+    for n in (1, 2, 4, 8):
+        assert rows[n]["check"]["ok"], rows[n]

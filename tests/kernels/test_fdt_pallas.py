@@ -372,3 +372,29 @@ def test_fdt_viterbi_kernel_beam_width(rng):
             np.testing.assert_array_equal(np.asarray(pk)[b, :n],
                                           np.asarray(px)[b, :n],
                                           err_msg=f"bw={bw} b={b}")
+
+def test_kth_col_value_exact_adversarial(rng):
+    """_kth_col_value == the k-th output of lax.top_k BIT-FOR-BIT on
+    adversarial columns the old f32-domain bisection got wrong (ADVICE r4
+    low): 1-ULP near-ties, values > 1e5 below the column max, ties at the
+    k-th, and NEG_INF fill."""
+    from asr_craft_tpu.kernels.fdt_pallas import _kth_col_value, NEG_INF
+
+    rows = 64
+    base = rng.normal(size=(rows,)).astype(np.float32)
+    tied = base.copy()
+    tied[1] = np.nextafter(tied[0], np.float32(np.inf))      # 1 ULP apart
+    tied[2] = tied[0]                                        # exact tie
+    spread = base.copy()
+    spread[10:30] = -2.0e5                                   # > span below max
+    spread[30:40] = NEG_INF
+    cols = np.stack([base, tied, spread,
+                     np.full(rows, 3.25, np.float32),        # all equal
+                     np.linspace(-1e6, 1e6, rows, dtype=np.float32)],
+                    axis=1)
+    delta = jnp.asarray(cols)
+    for K in (1, 2, 5, rows // 2, rows):
+        vk = np.asarray(_kth_col_value(delta, K))[0]
+        ref = np.asarray(jax.lax.top_k(jnp.asarray(cols.T), K)[0][:, -1])
+        np.testing.assert_array_equal(
+            vk.view(np.int32), ref.view(np.int32), err_msg=f"K={K}")

@@ -189,3 +189,28 @@ def test_sparse_frame_dependent_fast_path_matches_materialized(rng, ns):
         n = int(lengths[b])
         np.testing.assert_array_equal(np.asarray(paths)[b, :n],
                                       np.asarray(p_ref)[b, :n])
+
+def test_grad_feats_contract_uniform_on_xla_branch():
+    """fdt_nll_dual with grad_feats=False must return EXACTLY zero dfeats
+    on the XLA fallback branch too, matching the Pallas contract (ADVICE
+    r4 medium: previously the XLA branch differentiated feats naturally,
+    so the same call gave true encoder grads on CPU and zeros on TPU)."""
+    from asr_craft_tpu.ops import fdt
+    rng = np.random.default_rng(3)
+    cfg = CrfConfig(num_labels=4, feat_dim=6, num_states=2,
+                    trans_range=(0, 6))   # trans_dim > 0 => frame-dep trans
+    params = cfg.init_params(jax.random.PRNGKey(0), scale=0.3)
+    B, T = 2, 7
+    feats = jnp.asarray(rng.normal(size=(B, T, 6)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 4, size=(B, T)).astype(np.int32))
+    lengths = jnp.asarray([7, 5], jnp.int32)
+
+    def loss(f, grad_feats):
+        nll, _, _ = fdt.fdt_nll_dual(cfg.fmap, 2, params, f, labels,
+                                     lengths, grad_feats=grad_feats)
+        return jnp.sum(nll)
+
+    g_off = jax.grad(lambda f: loss(f, False))(feats)
+    assert float(jnp.max(jnp.abs(g_off))) == 0.0
+    g_on = jax.grad(lambda f: loss(f, True))(feats)
+    assert float(jnp.max(jnp.abs(g_on))) > 0.0

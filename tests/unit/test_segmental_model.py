@@ -331,3 +331,29 @@ def test_pack_segment_markers_edges():
     np.testing.assert_array_equal(np.asarray(labels)[1, :1], [4])
     np.testing.assert_array_equal(np.asarray(starts)[2, :2], [0, 3])
     np.testing.assert_array_equal(np.asarray(labels)[2, :2], [1, 3])
+
+def test_pack_segment_markers_argsort_fallback_parity():
+    """Above the one-hot element cap the argsort path must produce the
+    identical packing (ADVICE r4 low: O(B*T^2) memory cliff)."""
+    from asr_craft_tpu.ops import segmental_stream as ss
+    rng = np.random.default_rng(7)
+    T, B = 37, 4
+    end_lab = -np.ones((T, B), np.int32)
+    end_start = np.zeros((T, B), np.int32)
+    for b in range(B):
+        prev = 0
+        for t in sorted(rng.choice(T, size=rng.integers(0, 10),
+                                   replace=False)):
+            end_lab[t, b] = rng.integers(0, 40)
+            end_start[t, b] = prev
+            prev = t + 1
+    el, es = jnp.asarray(end_lab), jnp.asarray(end_start)
+    ref = ss._pack_segment_markers(el, es)
+    old = ss._PACK_ONEHOT_MAX_ELEMS
+    try:
+        ss._PACK_ONEHOT_MAX_ELEMS = 0          # force the argsort path
+        alt = ss._pack_segment_markers(el, es)
+    finally:
+        ss._PACK_ONEHOT_MAX_ELEMS = old
+    for r, a in zip(ref, alt):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(a))
