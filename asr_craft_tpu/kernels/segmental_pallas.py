@@ -40,48 +40,69 @@ from asr_craft_tpu.kernels.fwdbwd_pallas import _LANE, _SUBLANE, _round_up
 from asr_craft_tpu.ops.semiring import NEG_INF
 
 
-_TBLK = 8   # frames per grid step: amortizes per-step issue/DMA overhead
-            # (r4: grid=(T,) cost ~2-3 us/step of pure overhead x 512)
+_TBLK = 8   # min frames per grid step: amortizes per-step issue/DMA
+            # overhead (r4: grid=(T,) cost ~2-3 us/step of pure overhead
+            # x 512); rounded up to a multiple of Dmax (see _tblk)
 
 
-def _seg_fwd_kernel(TB, len_ref, cum_ref, P_ref, tmax_ref, bias_ref,
-                    invd_ref, alphas_ref, q_buf, cum_buf):
+def _tblk(Dmax: int) -> int:
+    """Frames per grid step: the smallest multiple of Dmax >= _TBLK.
+
+    TB % Dmax == 0 makes every circular-slot index below a COMPILE-TIME
+    constant (t = i*TB + k  =>  t ≡ k mod Dmax): the r4 kernels shifted
+    2-3 whole (Dmax, B, L) windows per frame (4-6 full-window VPU passes
+    of pure copy) and spent 2 more passes masking the d == t / d > t
+    cases; with slots keyed by absolute frame (slot s holds frame u ≡ s
+    mod Dmax), the rolls vanish and both masks fall out of buffer
+    initialization (r5, VERDICT r4 next #1)."""
+    return Dmax * max(1, -(-_TBLK // Dmax))
+
+
+def _rot_tables(bias, invd, Dmax: int):
+    """Rotation tables for slot-indexed windows: at frame t with
+    r = t mod Dmax, slot s holds source frame u ≡ s (mod Dmax), whose
+    duration is d = (t-1-s) mod Dmax — so row r of each table carries the
+    per-slot bias/invd in slot order.  (Dmax, Dmax, width) f32."""
+    r = jnp.arange(Dmax)
+    d_of = (r[:, None] - 1 - r[None, :]) % Dmax            # [r, s]
+    return bias[d_of], invd[d_of]
+
+
+def _seg_fwd_kernel(TB, Dmax, len_ref, cum_ref, P_ref, tmax_ref,
+                    biasrot_ref, invdrot_ref, alphas_ref, q_buf, cs_buf):
     # Grid: (Tp/TB,); step i processes frames t = i*TB + k, consuming
     # cum[t+1] and emitting alpha[t].
     #
     # The duration message for (t, d) is q[t-1-d] where
     #   q[u] = m_u + tmax + log(exp(alpha[u] - m_u) @ P)
-    # depends only on u — so q is computed ONCE per frame on (B, L) and
-    # rolled, instead of re-running the (Dmax*B, L) @ (L, L) dot over the
-    # whole alpha window every frame (Dmax-fold redundant MXU + exp work;
-    # identical numerics — same per-row max).  The Viterbi kernel has
-    # used the same M-window restructure since r3.
-    # q_buf[j] = q[t-1-j]; cum_buf[j] = cum[t-j]   (j < Dmax)
+    # depends only on u — computed ONCE per frame on (B, L) (one MXU dot)
+    # and stored in its STATIC slot u mod Dmax (see _tblk); the d-indexed
+    # bias/invd are read from rotation tables.  Initialization carries
+    # the structure the r4 kernel spent masks on:
+    #   q_buf[s]  = NEG_INF            (u < -1: invalid duration d > t)
+    #   q_buf[-1] = 0                  (u = -1: segment starts at frame 0)
+    #   cs_buf[s] = 0                  (CS[u+1 <= 0] = 0)
+    # — slots are only ever read before their first overwrite while they
+    # still mean exactly these cases.
     i = pl.program_id(0)
-    Dmax, B, L = q_buf.shape
+    B, L = cs_buf.shape[1:]
 
     @pl.when(i == 0)
     def _():
         q_buf[:] = jnp.full_like(q_buf, NEG_INF)
-        cum_buf[:] = jnp.zeros_like(cum_buf)   # cum[0] = 0
+        q_buf[Dmax - 1] = jnp.zeros((B, L), q_buf.dtype)
+        cs_buf[:] = jnp.zeros_like(cs_buf)
 
     for k in range(TB):
         t = i * TB + k
+        r = k % Dmax
         cum_now = cum_ref[k]                                # (B, L): cum[t+1]
 
-        msg = q_buf[:]                                      # (Dmax, B, L)
-        # d == t: segment starts at frame 0 — no predecessor (semiring
-        # one); d > t: structurally invalid.
-        ds = jax.lax.broadcasted_iota(jnp.int32, (Dmax, 1, 1), 0)
-        msg = jnp.where(ds == t, 0.0, msg)
-        msg = jnp.where(ds > t, NEG_INF, msg)
+        invd = invdrot_ref[r][:, 0:1].reshape(Dmax, 1, 1)
+        seg = (cum_now[None] - cs_buf[:]) * invd \
+            + biasrot_ref[r].reshape(Dmax, 1, L)            # (Dmax, B, L)
 
-        # segment potentials from the cumulative window
-        invd = invd_ref[:, 0:1].reshape(Dmax, 1, 1)
-        seg = (cum_now[None] - cum_buf[:]) * invd \
-            + bias_ref[:].reshape(Dmax, 1, L)               # (Dmax, B, L)
-
-        cand = msg + seg
+        cand = q_buf[:] + seg
         cm = jnp.maximum(jnp.max(cand, axis=0), NEG_INF)    # (B, L)
         alpha_t = cm + jnp.log(jnp.maximum(
             jnp.sum(jnp.exp(cand - cm[None]), axis=0), 1e-38))
@@ -97,9 +118,9 @@ def _seg_fwd_kernel(TB, len_ref, cum_ref, P_ref, tmax_ref, bias_ref,
         q_t = m_t + tmax_ref[0:1, :] + jnp.log(jnp.maximum(
             jnp.dot(jnp.exp(alpha_t - m_t), P_ref[:],
                     preferred_element_type=jnp.float32), 1e-38))
-        # roll windows: newest first
-        q_buf[:] = jnp.concatenate([q_t[None], q_buf[:-1]], axis=0)
-        cum_buf[:] = jnp.concatenate([cum_now[None], cum_buf[:-1]], axis=0)
+        # static slot write: frame t lands in slot t mod Dmax == r
+        q_buf[r] = q_t
+        cs_buf[r] = cum_now
 
 
 @functools.partial(jax.jit, static_argnames=("max_dur", "mean_pool",
@@ -132,7 +153,7 @@ def segmental_forward_pallas(frame_scores_tm, trans, dur_bias, seg_bias,
     if Lp != L:
         bias = bias.at[:, L:].set(NEG_INF)
 
-    TB = _TBLK
+    TB = _tblk(Dmax)
     Tp = _round_up(T, TB)
     if Tp != T:
         fs = jnp.pad(fs, ((0, Tp - T), (0, 0), (0, 0)))
@@ -142,13 +163,13 @@ def segmental_forward_pallas(frame_scores_tm, trans, dur_bias, seg_bias,
     tmax8 = jnp.broadcast_to(tmax[None, :], (_SUBLANE, Lp))
     invd = (1.0 / (jnp.arange(Dmax) + 1.0) if mean_pool
             else jnp.ones(Dmax))
-    invd2d = jnp.broadcast_to(invd[:, None].astype(jnp.float32),
-                              (Dmax, _LANE))
+    biasrot, invdrot = _rot_tables(bias, invd.astype(jnp.float32), Dmax)
+    invdrot = jnp.broadcast_to(invdrot[..., None], (Dmax, Dmax, _LANE))
     len2d = jnp.broadcast_to(lengths[:, None].astype(jnp.int32),
                              (Bp, _LANE))
 
     [alphas] = pl.pallas_call(
-        functools.partial(_seg_fwd_kernel, TB),
+        functools.partial(_seg_fwd_kernel, TB, Dmax),
         grid=(Tp // TB,),
         in_specs=[
             pl.BlockSpec((Bp, _LANE), lambda t: (0, 0),
@@ -159,9 +180,9 @@ def segmental_forward_pallas(frame_scores_tm, trans, dur_bias, seg_bias,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_SUBLANE, Lp), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Dmax, Lp), lambda t: (0, 0),
+            pl.BlockSpec((Dmax, Dmax, Lp), lambda t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Dmax, _LANE), lambda t: (0, 0),
+            pl.BlockSpec((Dmax, Dmax, _LANE), lambda t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -174,7 +195,7 @@ def segmental_forward_pallas(frame_scores_tm, trans, dur_bias, seg_bias,
             pltpu.VMEM((Dmax, Bp, Lp), jnp.float32),
         ],
         interpret=interpret,
-    )(len2d, cum, P, tmax8, bias, invd2d)
+    )(len2d, cum, P, tmax8, biasrot, invdrot)
     alphas = alphas[:T]
 
     alphas = alphas[:, :B, :L]
@@ -211,15 +232,34 @@ def _len2d(lengths, Bp):
     return jnp.broadcast_to(lengths[:, None].astype(jnp.int32), (Bp, _LANE))
 
 
-def _seg_bwd_kernel(TB, len_ref, cum_ref, M_ref, tmaxr_ref, bias_ref,
-                    invd_ref, betas_ref, beta_buf, cs_buf):
+def _rot_tables_bwd(bias, invd, Dmax: int):
+    """Backward-window rotation tables: at frame t (r = t mod Dmax), slot
+    s holds FUTURE frame v ≡ s (mod Dmax), v in [t+1, t+Dmax], whose
+    segment duration is d = (v - t - 1) = (s - r - 1) mod Dmax."""
+    r = jnp.arange(Dmax)
+    d_of = (r[None, :] - r[:, None] - 1) % Dmax            # [r, s]
+    return bias[d_of], invd[d_of]
+
+
+def _seg_bwd_kernel(TB, Dmax, len_ref, cum_ref, M_ref, tmaxr_ref,
+                    biasrot_ref, invdrot_ref, betas_ref, beta_buf, cs_buf):
     # Descending grid over TB-frame blocks: step i handles block nb-1-i,
     # frames t descending inside; consumes cum[t] = CS[t+1].
-    # beta_buf[j] = beta[t+1+j]; cs_buf[j] = CS[t+2+j].
+    #
+    # Static circular slots (see _tblk): slot s holds beta[v] and CS[v+1]
+    # for the future frame v ≡ s (mod Dmax); init beta = NEG_INF covers
+    # v >= T (no path), so no masks.  The r4 kernel ran the logsumexp
+    # matmul on the whole (Dmax*B, L) window — Dmax-fold redundant MXU
+    # (8 passes/frame at production shape): the transition factor is
+    # independent of d, so it factors OUT of the duration reduction,
+    #   beta[t, l] = lse_{l'} trans[l, l'] + z[t, l'],
+    #   z[t, l'] = lse_d seg[t+d+1, d, l'] + beta[t+d+1, l'],
+    # leaving ONE (B, L) @ (L, L) dot per frame — identical math, the
+    # backward mirror of the forward q-window (VERDICT r4 next #1).
     i = pl.program_id(0)
     nb = pl.num_programs(0)
     base = (nb - 1 - i) * TB
-    Dmax, B, L = beta_buf.shape
+    B, L = cs_buf.shape[1:]
 
     @pl.when(i == 0)
     def _():
@@ -229,28 +269,28 @@ def _seg_bwd_kernel(TB, len_ref, cum_ref, M_ref, tmaxr_ref, bias_ref,
     for j in range(TB):
         k = TB - 1 - j
         t = base + k
+        r = k % Dmax
         cs_next = cum_ref[k]                                # (B, L): CS[t+1]
-        invd = invd_ref[:, 0:1].reshape(Dmax, 1, 1)
+        invd = invdrot_ref[r][:, 0:1].reshape(Dmax, 1, 1)
         seg_next = (cs_buf[:] - cs_next[None]) * invd \
-            + bias_ref[:].reshape(Dmax, 1, L)               # seg (t+d+1, d)
+            + biasrot_ref[r].reshape(Dmax, 1, L)            # seg (t+d+1, d)
         w = seg_next + beta_buf[:]
-        mw = jnp.maximum(jnp.max(w, axis=-1, keepdims=True), NEG_INF)
-        prod = jnp.dot(jnp.exp(w - mw).reshape(Dmax * B, L), M_ref[:],
-                       preferred_element_type=jnp.float32
-                       ).reshape(Dmax, B, L)
-        msg = mw + tmaxr_ref[0:1, :][None] + jnp.log(
+        cm = jnp.maximum(jnp.max(w, axis=0), NEG_INF)       # (B, L)
+        z = cm + jnp.log(jnp.maximum(
+            jnp.sum(jnp.exp(w - cm[None]), axis=0), 1e-38))
+        zm = jnp.maximum(jnp.max(z, axis=-1, keepdims=True), NEG_INF)
+        prod = jnp.dot(jnp.exp(z - zm), M_ref[:],
+                       preferred_element_type=jnp.float32)  # (B, L)
+        beta_t = zm + tmaxr_ref[0:1, :] + jnp.log(
             jnp.maximum(prod, 1e-38))
-        cm = jnp.maximum(jnp.max(msg, axis=0), NEG_INF)     # (B, L)
-        beta_t = cm + jnp.log(jnp.maximum(
-            jnp.sum(jnp.exp(msg - cm[None]), axis=0), 1e-38))
         lenv = len_ref[:, 0:1]
         beta_t = jnp.where(t == lenv - 1, 0.0, beta_t)
         beta_t = jnp.where(t >= lenv, NEG_INF, beta_t)
 
         betas_ref[k] = beta_t
-        beta_buf[:] = jnp.concatenate([beta_t[None], beta_buf[:-1]],
-                                      axis=0)
-        cs_buf[:] = jnp.concatenate([cs_next[None], cs_buf[:-1]], axis=0)
+        # static slot write: frame t ≡ k ≡ r (mod Dmax)
+        beta_buf[r] = beta_t
+        cs_buf[r] = cs_next
 
 
 @functools.partial(jax.jit, static_argnames=("max_dur", "mean_pool",
@@ -268,14 +308,19 @@ def segmental_backward_pallas(cum, trans, bias, lengths, max_dur: int,
     tmax_row = jnp.maximum(jnp.max(trans, axis=1), NEG_INF)
     M = jnp.exp(trans - tmax_row[:, None]).T
     tmaxr8 = jnp.broadcast_to(tmax_row[None, :], (_SUBLANE, Lp))
+    invd = (1.0 / (jnp.arange(Dmax) + 1.0) if mean_pool
+            else jnp.ones(Dmax))
+    biasrot, invdrot = _rot_tables_bwd(bias, invd.astype(jnp.float32),
+                                       Dmax)
+    invdrot = jnp.broadcast_to(invdrot[..., None], (Dmax, Dmax, _LANE))
 
-    TB = _TBLK
+    TB = _tblk(Dmax)
     Tp = _round_up(T, TB)
     if Tp != T:
         cum = jnp.pad(cum, ((0, Tp - T), (0, 0), (0, 0)), mode="edge")
     nb = Tp // TB
     [betas] = pl.pallas_call(
-        functools.partial(_seg_bwd_kernel, TB),
+        functools.partial(_seg_bwd_kernel, TB, Dmax),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((Bp, _LANE), lambda i: (0, 0),
@@ -286,9 +331,9 @@ def segmental_backward_pallas(cum, trans, bias, lengths, max_dur: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_SUBLANE, Lp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Dmax, Lp), lambda i: (0, 0),
+            pl.BlockSpec((Dmax, Dmax, Lp), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Dmax, _LANE), lambda i: (0, 0),
+            pl.BlockSpec((Dmax, Dmax, _LANE), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -301,87 +346,106 @@ def segmental_backward_pallas(cum, trans, bias, lengths, max_dur: int,
             pltpu.VMEM((Dmax, Bp, Lp), jnp.float32),
         ],
         interpret=interpret,
-    )(_len2d(lengths, Bp), cum, M, tmaxr8, bias, _invd2d(Dmax, mean_pool))
+    )(_len2d(lengths, Bp), cum, M, tmaxr8, biasrot, invdrot)
     return betas[:T, :B, :L]
 
 
-def _seg_grad_kernel(TB, Tlim, len_ref, g_ref, logz_ref, cum_ref, alpha_ref,
-                     beta_ref, P_ref, tmax_ref, bias_ref, invd_ref,
-                     A_ref, S_ref, acc_ref, gt_ref, gd_ref,
-                     alpha_buf, cs_buf, q_buf):
+def _seg_grad_kernel(TB, Dmax, Tlim, len_ref, g_ref, logz_ref, cum_ref,
+                     alpha_ref, beta_ref, P_ref, tmax_ref, biasrot_ref,
+                     invdrot_ref,
+                     A_ref, S_ref, Sfin_ref, Ffin_ref, gdr_ref, gt_ref,
+                     alpha_buf, cs_buf, q_buf, scale_buf):
     # Ascending TB-frame blocks: xi[t, d] for all d in VMEM, accumulating
-    # the gradient pieces (ops.segmental_stream._grad_scan, in-kernel).
-    # pred[t, d] = q[t-1-d] rides a rolled q window computed once per
-    # frame (see _seg_fwd_kernel); the raw alpha window stays for the
-    # U^T V transition contraction.
+    # the gradient pieces (ops.segmental_stream._grad_scan, in-kernel),
+    # on static circular slots (see _tblk; masks and rolls fall out of
+    # initialization exactly as in _seg_fwd_kernel).
+    #
+    # The U^T V transition contraction no longer runs a (Dmax*B, L)-row
+    # dot per frame (Dmax-fold redundant K — 8 MXU K-tiles at production
+    # shape): factored by SOURCE frame u,
+    #   gt[p, l] = sum_u exp(alpha[u, p] - m_u) * F[u, l],
+    #   F[u, l]  = sum_d g * exp(x_v[u+d+1, d, l] + m_u),
+    # F accumulates in LINEAR space in the slot for u (safe: x_v + m_u <=
+    # max|trans| + log-margin, see scale note below), and the (B, L)^T
+    # (B, L) contraction (ONE K=B MXU pass) fires when the slot retires —
+    # at the end of frame u + Dmax, exactly when the slot is overwritten.
+    # Init-era slot garbage (d > t) and the virtual-start pseudo-slot
+    # (d == t, excluded from the trans grad) die in slot resets before
+    # their first retirement, so the r4 masks are structural here too.
+    #
+    # Scale note: m_u = max_l alpha[u, l] (stored per-slot at write time);
+    # exp(x_v + m_u) <= exp(max|trans|)-ish because alpha[u, p*] + x_v is
+    # a path posterior term bounded by ~logZ.  NEG_INF is a finite
+    # sentinel, so -1e30 + 1e30 = 0 -> exp = 1 pairs with F = 0 (no inf).
     i = pl.program_id(0)
-    Dmax, B, L = alpha_buf.shape
+    B, L = cs_buf.shape[1:]
 
     @pl.when(i == 0)
     def _():
         alpha_buf[:] = jnp.full_like(alpha_buf, NEG_INF)
         q_buf[:] = jnp.full_like(q_buf, NEG_INF)
+        q_buf[Dmax - 1] = jnp.zeros((B, L), q_buf.dtype)  # u = -1: one
         cs_buf[:] = jnp.zeros_like(cs_buf)
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+        scale_buf[:] = jnp.full_like(scale_buf, NEG_INF)
+        Sfin_ref[:] = jnp.zeros_like(Sfin_ref)
+        Ffin_ref[:] = jnp.zeros_like(Ffin_ref)
+        gdr_ref[:] = jnp.zeros_like(gdr_ref)
         gt_ref[:] = jnp.zeros_like(gt_ref)
-        gd_ref[:] = jnp.zeros_like(gd_ref)
 
     for k in range(TB):
         t = i * TB + k
+        r = k % Dmax
         cum_now = cum_ref[k]
         alpha_t = alpha_ref[k]
         beta_t = beta_ref[k]
         lenv = len_ref[:, 0:1]                              # (B, 1)
         gB = g_ref[:, 0:1][None]                            # (1, B, 1)
-        ds = jax.lax.broadcasted_iota(jnp.int32, (Dmax, 1, 1), 0)
 
-        pred = q_buf[:]
-        pred = jnp.where(ds == t, 0.0, pred)
-        pred = jnp.where(ds > t, NEG_INF, pred)
-        m = jnp.maximum(jnp.max(alpha_buf[:], axis=-1, keepdims=True),
-                        NEG_INF)
-
-        invd = invd_ref[:, 0:1].reshape(Dmax, 1, 1)
+        invd = invdrot_ref[r][:, 0:1].reshape(Dmax, 1, 1)
         seg = (cum_now[None] - cs_buf[:]) * invd \
-            + bias_ref[:].reshape(Dmax, 1, L)
+            + biasrot_ref[r].reshape(Dmax, 1, L)
         x_v = seg + (beta_t - logz_ref[:, 0:1])[None]       # (Dmax, B, L)
         valid = (lenv > t)[None]
-        xi_g = jnp.where(valid, jnp.exp(pred + x_v) * gB, 0.0)
+        xi_g = jnp.where(valid, jnp.exp(q_buf[:] + x_v) * gB, 0.0)
 
-        acc = acc_ref[:] + invd * xi_g
-        S_ref[k] = acc[Dmax - 1]
+        y = invd * xi_g
+        A_ref[k] = jnp.sum(y, axis=0)
+        Sfin_ref[:] = Sfin_ref[:] + y
+        gdr_ref[r] = gdr_ref[r] + jnp.sum(xi_g, axis=1)
+        # F accumulation: exp(x_v + m_u) per slot, linear space
+        Ffin_ref[:] = Ffin_ref[:] + jnp.where(
+            valid, jnp.exp(x_v + scale_buf[:, :, 0:1]), 0.0)
 
-        # the roll count must be exactly Tlim (the real T): the assembler
-        # reads acc_fin as "acc after T rolls"; padded tail frames (t >=
-        # Tlim, xi identically 0) must not shift it further
         @pl.when(t < Tlim)
-        def _(acc=acc):
-            acc_ref[:] = jnp.concatenate(
-                [jnp.zeros((1, B, L), acc.dtype), acc[:-1]], axis=0)
+        def _():
+            # S emission: slot r holds completed S[t - Dmax + 1]
+            S_ref[k] = Sfin_ref[r]
+            Sfin_ref[r] = jnp.zeros((B, L), jnp.float32)
 
-        A_ref[k] = jnp.sum(invd * xi_g, axis=0)
-        gd_ref[:] = gd_ref[:] + jnp.sum(xi_g, axis=1)
+            # retire slot r (source frame u = t - Dmax): one K=B MXU pass
+            def _retire():
+                a_u = alpha_buf[r]
+                U = jnp.exp(a_u - scale_buf[r][:, 0:1])     # (B, L)
+                V = Ffin_ref[r] * g_ref[:, 0:1]
+                gt_ref[:] = gt_ref[:] + jax.lax.dot_general(
+                    U, V, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            if k >= Dmax:
+                _retire()
+            else:
+                pl.when(i > 0)(_retire)
+            Ffin_ref[r] = jnp.zeros((B, L), jnp.float32)
 
-        # trans contraction: xi over (p, l) = U^T V * exp(trans)
-        # (finished on host)
-        mV = jnp.maximum(jnp.max(x_v, axis=-1, keepdims=True), NEG_INF)
-        w_sc = jnp.exp(m + mV) * gB
-        w_sc = jnp.where(valid & (ds < t), w_sc, 0.0)
-        U = (jnp.exp(alpha_buf[:] - m) * w_sc).reshape(Dmax * B, L)
-        V = jnp.exp(x_v - mV).reshape(Dmax * B, L)
-        gt_ref[:] = gt_ref[:] + jax.lax.dot_general(
-            U, V, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-
-        m_t = jnp.maximum(jnp.max(alpha_t, axis=-1, keepdims=True),
-                          NEG_INF)
-        q_t = m_t + tmax_ref[0:1, :] + jnp.log(jnp.maximum(
-            jnp.dot(jnp.exp(alpha_t - m_t), P_ref[:],
-                    preferred_element_type=jnp.float32), 1e-38))
-        q_buf[:] = jnp.concatenate([q_t[None], q_buf[:-1]], axis=0)
-        alpha_buf[:] = jnp.concatenate([alpha_t[None], alpha_buf[:-1]],
-                                       axis=0)
-        cs_buf[:] = jnp.concatenate([cum_now[None], cs_buf[:-1]], axis=0)
+            # window writes: frame t lands in slot r = t mod Dmax
+            m_t = jnp.maximum(jnp.max(alpha_t, axis=-1, keepdims=True),
+                              NEG_INF)
+            q_t = m_t + tmax_ref[0:1, :] + jnp.log(jnp.maximum(
+                jnp.dot(jnp.exp(alpha_t - m_t), P_ref[:],
+                        preferred_element_type=jnp.float32), 1e-38))
+            q_buf[r] = q_t
+            alpha_buf[r] = alpha_t
+            cs_buf[r] = cum_now
+            scale_buf[r] = jnp.broadcast_to(m_t, scale_buf[r].shape)
 
 
 @functools.partial(jax.jit, static_argnames=("max_dur", "mean_pool",
@@ -393,7 +457,15 @@ def segmental_grad_pallas(cum, trans, bias, lengths, alphas, betas, logZ, g,
 
     Returns ``(A (T,B,L), S_emit (T,B,L), acc_fin (Dmax,B,L), gd (Dmax,L),
     gt (L,L))`` matching ops.segmental_stream._grad_scan (assembled there
-    by ``_assemble_frame_grad`` / the exp(trans) contraction finish)."""
+    by ``_assemble_frame_grad`` / the exp(trans) contraction finish).
+
+    Slot bookkeeping finished here on XLA (all static index juggling):
+    the S leftovers come back slot-ordered (acc_fin[j] = slot of start
+    frame T-j), gd comes back per (frame-phase r, slot s) and is summed
+    over the static slot->duration rotation, and the last Dmax source
+    frames' U^T V terms — whose slots never retire in-kernel — are
+    contracted here from the returned F accumulators (same per-slot scale
+    as in-kernel: m_u recomputed from the padded alphas, bit-identical)."""
     T, B, L = cum.shape
     Dmax = max_dur
     cum, trans, bias, lengths, Bp, Lp = _pad_seg_inputs(
@@ -410,8 +482,12 @@ def segmental_grad_pallas(cum, trans, bias, lengths, alphas, betas, logZ, g,
     g2d = jnp.broadcast_to(g.astype(jnp.float32)[:, None], (Bp, _LANE))
     logz2d = jnp.broadcast_to(logZ.astype(jnp.float32)[:, None],
                               (Bp, _LANE))
+    invd = (1.0 / (jnp.arange(Dmax) + 1.0) if mean_pool
+            else jnp.ones(Dmax))
+    biasrot, invdrot = _rot_tables(bias, invd.astype(jnp.float32), Dmax)
+    invdrot = jnp.broadcast_to(invdrot[..., None], (Dmax, Dmax, _LANE))
 
-    TB = _TBLK
+    TB = _tblk(Dmax)
     Tp = _round_up(T, TB)
     if Tp != T:
         cum = jnp.pad(cum, ((0, Tp - T), (0, 0), (0, 0)), mode="edge")
@@ -421,8 +497,8 @@ def segmental_grad_pallas(cum, trans, bias, lengths, alphas, betas, logZ, g,
     whole = lambda i: (0, 0)
     whole3 = lambda i: (0, 0, 0)
     row = lambda i: (i, 0, 0)
-    A, S_emit, acc_fin, gt, gd = pl.pallas_call(
-        functools.partial(_seg_grad_kernel, TB, T),
+    A, S_emit, S_fin, F_fin, gd_by_r, gt = pl.pallas_call(
+        functools.partial(_seg_grad_kernel, TB, Dmax, T),
         grid=(Tp // TB,),
         in_specs=[
             pl.BlockSpec((Bp, _LANE), whole, memory_space=pltpu.VMEM),
@@ -433,31 +509,61 @@ def segmental_grad_pallas(cum, trans, bias, lengths, alphas, betas, logZ, g,
             pl.BlockSpec((TB, Bp, Lp), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((Lp, Lp), whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((_SUBLANE, Lp), whole, memory_space=pltpu.VMEM),
-            pl.BlockSpec((Dmax, Lp), whole, memory_space=pltpu.VMEM),
-            pl.BlockSpec((Dmax, _LANE), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Dmax, Dmax, Lp), whole3,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Dmax, Dmax, _LANE), whole3,
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((TB, Bp, Lp), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, Bp, Lp), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((Dmax, Bp, Lp), whole3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Dmax, Bp, Lp), whole3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Dmax, Dmax, Lp), whole3,
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((Lp, Lp), whole, memory_space=pltpu.VMEM),
-            pl.BlockSpec((Dmax, Lp), whole, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Tp, Bp, Lp), jnp.float32),
             jax.ShapeDtypeStruct((Tp, Bp, Lp), jnp.float32),
             jax.ShapeDtypeStruct((Dmax, Bp, Lp), jnp.float32),
+            jax.ShapeDtypeStruct((Dmax, Bp, Lp), jnp.float32),
+            jax.ShapeDtypeStruct((Dmax, Dmax, Lp), jnp.float32),
             jax.ShapeDtypeStruct((Lp, Lp), jnp.float32),
-            jax.ShapeDtypeStruct((Dmax, Lp), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((Dmax, Bp, Lp), jnp.float32),
             pltpu.VMEM((Dmax, Bp, Lp), jnp.float32),
             pltpu.VMEM((Dmax, Bp, Lp), jnp.float32),
+            pltpu.VMEM((Dmax, Bp, _LANE), jnp.float32),
         ],
         interpret=interpret,
     )(_len2d(lengths, Bp), g2d, logz2d, cum, alphas, betas, P, tmax8,
-      bias, _invd2d(Dmax, mean_pool))
+      biasrot, invdrot)
+
+    import numpy as np
+    # S leftovers: slot of start frame u' = T - j is (u' - 1) mod Dmax
+    sj = (T - 1 - np.arange(Dmax)) % Dmax
+    acc_fin = S_fin[jnp.asarray(sj)]
+    # gd: sum the per-phase slot rows into duration order
+    # (slot of duration d at phase r is s = (r - 1 - d) mod Dmax)
+    rr = np.arange(Dmax)
+    s_of = (rr[:, None] - 1 - np.arange(Dmax)[None, :]) % Dmax  # [r, d]
+    gd = jnp.sum(gd_by_r[jnp.asarray(rr)[:, None], jnp.asarray(s_of)],
+                 axis=0)
+    # drain: slots never retired hold source frames u(s) = largest
+    # u ≡ s (mod Dmax) with u <= T-1; alpha rows for u < 0 were never
+    # written (init NEG_INF) -> their exp-scale product is exactly 0
+    u_of = T - 1 - ((T - 1 - np.arange(Dmax)) % Dmax)
+    live = u_of >= 0
+    u_idx = jnp.asarray(np.where(live, u_of, 0))
+    a_u = alphas[u_idx]                                        # (Dmax,Bp,Lp)
+    m_u = jnp.maximum(jnp.max(a_u, axis=-1, keepdims=True), NEG_INF)
+    U = jnp.where(jnp.asarray(live)[:, None, None],
+                  jnp.exp(a_u - m_u), 0.0)
+    V = F_fin * g.astype(jnp.float32)[None, :, None]
+    gt = gt + jnp.einsum("sbp,sbl->pl", U, V,
+                         preferred_element_type=jnp.float32)
     return (A[:T, :B, :L], S_emit[:T, :B, :L], acc_fin[:, :B, :L],
             gd[:, :L], gt[:L, :L])
 
@@ -466,38 +572,44 @@ def segmental_grad_pallas(cum, trans, bias, lengths, alphas, betas, logZ, g,
 # segmental max-plus decode (streaming Viterbi forward)
 # ---------------------------------------------------------------------------
 
-def _seg_vit_kernel(lsub, thr, len_ref, cum_ref, trans_ref, bias_ref,
-                    invd_ref, deltas_ref, argd_ref, M_buf, cum_buf):
+def _seg_vit_kernel(TB, Dmax, lsub, thr, len_ref, cum_ref, trans_ref,
+                    biasrot_ref, invdrot_ref, deltas_ref, argd_ref, M_buf,
+                    cs_buf):
     """Max-plus analogue of the forward kernel with the M-window
     restructure: the duration message ``max_p delta[t-1-d, p] + trans[p,l]``
     depends only on ``u = t-1-d``, so ONE (B, lsub, L) max-plus per frame
-    (computed when frame u's delta is emitted) rides a rolling (Dmax, B, L)
-    window — the naive per-frame (Dmax, B, L, L) tensor never exists.
-    Emits deltas and the duration argmax; predecessor argmaxes are
-    re-derived per segment jump in the XLA traceback (ops.segmental_stream
-    seg_viterbi_stream)."""
+    (computed when frame u's delta is emitted) rides the window — the
+    naive per-frame (Dmax, B, L, L) tensor never exists.  Static circular
+    slots as in _seg_fwd_kernel (rolls and the d == t / d > t masks fall
+    out of initialization); the duration argmax minimizes the REAL
+    duration d = (t-1-s) mod Dmax over slots, preserving the XLA path's
+    shortest-duration tie-break.  Emits deltas and the duration argmax;
+    predecessor argmaxes are re-derived per segment jump in the
+    traceback."""
     i = pl.program_id(0)
-    TB = deltas_ref.shape[0]
-    Dmax, B, L = M_buf.shape
+    B, L = cs_buf.shape[1:]
 
     @pl.when(i == 0)
     def _():
         M_buf[:] = jnp.full_like(M_buf, NEG_INF)
-        cum_buf[:] = jnp.zeros_like(cum_buf)
+        M_buf[Dmax - 1] = jnp.zeros((B, L), M_buf.dtype)  # u = -1: one
+        cs_buf[:] = jnp.zeros_like(cs_buf)
 
     for k in range(TB):
         t = i * TB + k
+        r = k % Dmax
         cum_now = cum_ref[k]                                # (B, L)
-        ds = jax.lax.broadcasted_iota(jnp.int32, (Dmax, 1, 1), 0)
-        msg = jnp.where(ds == t, 0.0, M_buf[:])
-        msg = jnp.where(ds > t, NEG_INF, msg)
-        invd = invd_ref[:, 0:1].reshape(Dmax, 1, 1)
-        seg = (cum_now[None] - cum_buf[:]) * invd \
-            + bias_ref[:].reshape(Dmax, 1, L)
-        cand = msg + seg                                    # (Dmax, B, L)
+        invd = invdrot_ref[r][:, 0:1].reshape(Dmax, 1, 1)
+        seg = (cum_now[None] - cs_buf[:]) * invd \
+            + biasrot_ref[r].reshape(Dmax, 1, L)
+        cand = M_buf[:] + seg                               # (Dmax, B, L)
         delta_t = jnp.max(cand, axis=0)
-        di = jax.lax.broadcasted_iota(jnp.int32, cand.shape, 0)
-        argd = jnp.min(jnp.where(cand == delta_t[None], di, Dmax), axis=0)
+        # real duration of slot s at this frame: d = (r - 1 - s) mod Dmax
+        si = jax.lax.broadcasted_iota(jnp.int32, (Dmax, 1, 1), 0)
+        d_of = r - 1 - si
+        d_of = jnp.where(d_of < 0, d_of + Dmax, d_of)
+        argd = jnp.min(jnp.where(cand == delta_t[None], d_of, Dmax),
+                       axis=0)
         if thr is not None:
             rowm = jnp.max(delta_t, axis=-1, keepdims=True)
             delta_t = jnp.where(delta_t >= rowm - thr, delta_t, NEG_INF)
@@ -510,9 +622,8 @@ def _seg_vit_kernel(lsub, thr, len_ref, cum_ref, trans_ref, bias_ref,
         # the real predecessor rows only)
         dl = jax.lax.slice(delta_t, (0, 0), (B, lsub))
         cand_p = dl[:, :, None] + trans_ref[0:lsub, :][None, :, :]
-        M_new = jnp.max(cand_p, axis=1)                     # (B, L)
-        M_buf[:] = jnp.concatenate([M_new[None], M_buf[:-1]], axis=0)
-        cum_buf[:] = jnp.concatenate([cum_now[None], cum_buf[:-1]], axis=0)
+        M_buf[r] = jnp.max(cand_p, axis=1)                  # (B, L)
+        cs_buf[r] = cum_now
 
 
 @functools.partial(jax.jit, static_argnames=("max_dur", "mean_pool",
@@ -540,21 +651,21 @@ def segmental_viterbi_pallas(frame_scores_tm, trans, dur_bias, seg_bias,
         bias = bias.at[:, :L].add(seg_bias[None, :])
     if Lp != L:
         bias = bias.at[:, L:].set(NEG_INF)
-    TB = _TBLK
+    TB = _tblk(Dmax)
     Tp = _round_up(T, TB)
     if Tp != T:
         fs = jnp.pad(fs, ((0, Tp - T), (0, 0), (0, 0)))
     cum = jnp.cumsum(fs, axis=0)
     invd = (1.0 / (jnp.arange(Dmax) + 1.0) if mean_pool
             else jnp.ones(Dmax))
-    invd2d = jnp.broadcast_to(invd[:, None].astype(jnp.float32),
-                              (Dmax, _LANE))
+    biasrot, invdrot = _rot_tables(bias, invd.astype(jnp.float32), Dmax)
+    invdrot = jnp.broadcast_to(invdrot[..., None], (Dmax, Dmax, _LANE))
     len2d = jnp.broadcast_to(lengths[:, None].astype(jnp.int32),
                              (Bp, _LANE))
     lsub = _round_up(L, _SUBLANE)
 
     deltas, argd = pl.pallas_call(
-        functools.partial(_seg_vit_kernel, lsub, beam_threshold),
+        functools.partial(_seg_vit_kernel, TB, Dmax, lsub, beam_threshold),
         grid=(Tp // TB,),
         in_specs=[
             pl.BlockSpec((Bp, _LANE), lambda t: (0, 0),
@@ -563,9 +674,9 @@ def segmental_viterbi_pallas(frame_scores_tm, trans, dur_bias, seg_bias,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Lp, Lp), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Dmax, Lp), lambda t: (0, 0),
+            pl.BlockSpec((Dmax, Dmax, Lp), lambda t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Dmax, _LANE), lambda t: (0, 0),
+            pl.BlockSpec((Dmax, Dmax, _LANE), lambda t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -583,7 +694,7 @@ def segmental_viterbi_pallas(frame_scores_tm, trans, dur_bias, seg_bias,
             pltpu.VMEM((Dmax, Bp, Lp), jnp.float32),
         ],
         interpret=interpret,
-    )(len2d, cum, trans, bias, invd2d)
+    )(len2d, cum, trans, biasrot, invdrot)
 
     deltas = deltas[:T, :B, :L]
     argd = argd[:T, :B, :L]
@@ -600,17 +711,19 @@ def segmental_viterbi_pallas(frame_scores_tm, trans, dur_bias, seg_bias,
     return deltas, argd, lab0, scores
 
 
-def _seg_vit_tb_kernel(len_ref, lab0_ref, deltas_ref, argd_ref,
+def _seg_vit_tb_kernel(TB, len_ref, lab0_ref, deltas_ref, argd_ref,
                        transT_ref, out_lab_ref, out_start_ref, cur_t,
                        pending):
     """Segment traceback as a descending frame grid (single launch — the
-    vmapped while_loop traceback is iteration-launch-bound on TPU).
+    vmapped while_loop traceback is iteration-launch-bound on TPU), TB
+    frames per grid step (r5: 512 one-frame steps paid ~0.7 us of pure
+    per-step overhead each — 6x the kernel's compute).
 
     Deferred-resolution trick: when a segment [start, t] is identified at
     frame t, its PREDECESSOR's argmax needs deltas[start-1] — not loaded
     yet.  Instead of gathering across frames, the carry records
-    ``cur_t = start-1`` and the ended segment's label; when the grid
-    reaches frame start-1 its delta block is resident and the predecessor
+    ``cur_t = start-1`` and the ended segment's label; when the loop
+    reaches frame start-1 its delta row is resident and the predecessor
     argmax (and that segment's own duration lookup) happen locally.
 
     Orientation: batch on sublanes everywhere ((B, 1) carries broadcast
@@ -618,8 +731,7 @@ def _seg_vit_tb_kernel(len_ref, lab0_ref, deltas_ref, argd_ref,
     ``transT_ref`` is trans^T, precomputed by the wrapper.
     """
     i = pl.program_id(0)
-    T = pl.num_programs(0)
-    t = T - 1 - i
+    nb = pl.num_programs(0)
     B, L = deltas_ref.shape[1:]
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
 
@@ -628,30 +740,36 @@ def _seg_vit_tb_kernel(len_ref, lab0_ref, deltas_ref, argd_ref,
         cur_t[:] = len_ref[:] - 1
         pending[:] = jnp.full_like(pending, -1)
 
-    active = cur_t[:, 0:1] == t                              # (B, 1)
-    delta_u = deltas_ref[0]                                  # (B, L)
-    # trans column for each row's pending label: v2[b, p] = trans[p, lab_b]
-    onehot = jnp.where(lane == pending[:, 0:1], 1.0, 0.0)
-    v2 = jnp.dot(onehot, transT_ref[:],
-                 preferred_element_type=jnp.float32)         # (B, L=p)
-    cand = delta_u + v2
-    m = jnp.max(cand, axis=-1, keepdims=True)
-    prev = jnp.min(jnp.where(cand == m, lane, L), axis=-1,
-                   keepdims=True)                            # (B, 1)
-    first = pending[:, 0:1] < 0                              # initial segment
-    lab_end = jnp.where(first, lab0_ref[:, 0:1], prev)
-    lab_end = jnp.clip(lab_end, 0, L - 1)                    # (B, 1)
-    hot = jnp.where(lane == lab_end, 1.0, 0.0)
-    d = jnp.sum(argd_ref[0].astype(jnp.float32) * hot, axis=-1,
-                keepdims=True).astype(jnp.int32)             # (B, 1)
-    start = t - d
+    for j in range(TB):
+        k = TB - 1 - j
+        t = (nb - 1 - i) * TB + k
+        # padded tail frames (t >= the real T) are inert: cur_t starts at
+        # length-1 < t, so `active` is false and the carries pass through
+        active = cur_t[:, 0:1] == t                          # (B, 1)
+        delta_u = deltas_ref[k]                              # (B, L)
+        # trans column for each row's pending label:
+        # v2[b, p] = trans[p, lab_b]
+        onehot = jnp.where(lane == pending[:, 0:1], 1.0, 0.0)
+        v2 = jnp.dot(onehot, transT_ref[:],
+                     preferred_element_type=jnp.float32)     # (B, L=p)
+        cand = delta_u + v2
+        m = jnp.max(cand, axis=-1, keepdims=True)
+        prev = jnp.min(jnp.where(cand == m, lane, L), axis=-1,
+                       keepdims=True)                        # (B, 1)
+        first = pending[:, 0:1] < 0                          # initial seg
+        lab_end = jnp.where(first, lab0_ref[:, 0:1], prev)
+        lab_end = jnp.clip(lab_end, 0, L - 1)                # (B, 1)
+        hot = jnp.where(lane == lab_end, 1.0, 0.0)
+        d = jnp.sum(argd_ref[k].astype(jnp.float32) * hot, axis=-1,
+                    keepdims=True).astype(jnp.int32)         # (B, 1)
+        start = t - d
 
-    out_lab_ref[0] = jnp.broadcast_to(
-        jnp.where(active, lab_end, -1), out_lab_ref[0].shape)
-    out_start_ref[0] = jnp.broadcast_to(
-        jnp.where(active, start, 0), out_start_ref[0].shape)
-    cur_t[:] = jnp.where(active, start - 1, cur_t[:])
-    pending[:] = jnp.where(active, lab_end, pending[:])
+        out_lab_ref[k] = jnp.broadcast_to(
+            jnp.where(active, lab_end, -1), out_lab_ref[k].shape)
+        out_start_ref[k] = jnp.broadcast_to(
+            jnp.where(active, start, 0), out_start_ref[k].shape)
+        cur_t[:] = jnp.where(active, start - 1, cur_t[:])
+        pending[:] = jnp.where(active, lab_end, pending[:])
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -672,37 +790,40 @@ def segmental_viterbi_traceback_pallas(deltas, argd, trans, lab0, lengths,
                             (Bp, _LANE))
     lab02 = jnp.broadcast_to(lab0[:, None].astype(jnp.int32),
                              (Bp, _LANE))
+    TB = _TBLK
+    Tp = _round_up(T, TB)
+    if Tp != T:
+        deltas = jnp.pad(deltas, ((0, Tp - T), (0, 0), (0, 0)),
+                         constant_values=NEG_INF)
+        argd = jnp.pad(argd, ((0, Tp - T), (0, 0), (0, 0)))
+    nb = Tp // TB
     out_lab, out_start = pl.pallas_call(
-        _seg_vit_tb_kernel,
-        grid=(T,),
+        functools.partial(_seg_vit_tb_kernel, TB),
+        grid=(nb,),
         in_specs=[
             pl.BlockSpec((Bp, _LANE), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Bp, _LANE), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Bp, Lp),
-                         lambda i: (pl.num_programs(0) - 1 - i, 0, 0),
+            pl.BlockSpec((TB, Bp, Lp), lambda i: (nb - 1 - i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Bp, Lp),
-                         lambda i: (pl.num_programs(0) - 1 - i, 0, 0),
+            pl.BlockSpec((TB, Bp, Lp), lambda i: (nb - 1 - i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Lp, Lp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, Bp, _LANE),
-                         lambda i: (pl.num_programs(0) - 1 - i, 0, 0),
+            pl.BlockSpec((TB, Bp, _LANE), lambda i: (nb - 1 - i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Bp, _LANE),
-                         lambda i: (pl.num_programs(0) - 1 - i, 0, 0),
+            pl.BlockSpec((TB, Bp, _LANE), lambda i: (nb - 1 - i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, Bp, _LANE), jnp.int32),
-            jax.ShapeDtypeStruct((T, Bp, _LANE), jnp.int32),
+            jax.ShapeDtypeStruct((Tp, Bp, _LANE), jnp.int32),
+            jax.ShapeDtypeStruct((Tp, Bp, _LANE), jnp.int32),
         ],
         scratch_shapes=[pltpu.VMEM((Bp, _LANE), jnp.int32),
                         pltpu.VMEM((Bp, _LANE), jnp.int32)],
         interpret=interpret,
     )(len2, lab02, deltas, argd, jnp.transpose(trans))
-    return out_lab[:, :B, 0], out_start[:, :B, 0]
+    return out_lab[:T, :B, 0], out_start[:T, :B, 0]
