@@ -68,14 +68,19 @@ def _rot_tables(bias, invd, Dmax: int):
     return bias[d_of], invd[d_of]
 
 
-def _seg_fwd_kernel(TB, Dmax, len_ref, cum_ref, P_ref, tmax_ref,
+def _seg_fwd_kernel(TB, Dmax, len_ref, cum_ref, PT_ref, tmax_ref,
                     biasrot_ref, invdrot_ref, alphas_ref, q_buf, cs_buf):
     # Grid: (Tp/TB,); step i processes frames t = i*TB + k, consuming
     # cum[t+1] and emitting alpha[t].
     #
+    # TRANSPOSED layout (r5): all (L, B) planes carry labels on SUBLANES
+    # (L=48 is 6 exact sublane rows — the r4 (B, L) layout padded 48
+    # labels to 128 lanes, a 2.7x element waste on every window pass)
+    # and batch on LANES (full at B=128).
+    #
     # The duration message for (t, d) is q[t-1-d] where
-    #   q[u] = m_u + tmax + log(exp(alpha[u] - m_u) @ P)
-    # depends only on u — computed ONCE per frame on (B, L) (one MXU dot)
+    #   q[u, l] = m_u + tmax[l] + log(P^T @ exp(alpha[u] - m_u))[l]
+    # depends only on u — computed ONCE per frame on (L, B) (one MXU dot)
     # and stored in its STATIC slot u mod Dmax (see _tblk); the d-indexed
     # bias/invd are read from rotation tables.  Initialization carries
     # the structure the r4 kernel spent masks on:
@@ -85,38 +90,38 @@ def _seg_fwd_kernel(TB, Dmax, len_ref, cum_ref, P_ref, tmax_ref,
     # — slots are only ever read before their first overwrite while they
     # still mean exactly these cases.
     i = pl.program_id(0)
-    B, L = cs_buf.shape[1:]
+    L, B = cs_buf.shape[1:]
 
     @pl.when(i == 0)
     def _():
         q_buf[:] = jnp.full_like(q_buf, NEG_INF)
-        q_buf[Dmax - 1] = jnp.zeros((B, L), q_buf.dtype)
+        q_buf[Dmax - 1] = jnp.zeros((L, B), q_buf.dtype)
         cs_buf[:] = jnp.zeros_like(cs_buf)
 
     for k in range(TB):
         t = i * TB + k
         r = k % Dmax
-        cum_now = cum_ref[k]                                # (B, L): cum[t+1]
+        cum_now = cum_ref[k]                                # (L, B): cum[t+1]
 
         invd = invdrot_ref[r][:, 0:1].reshape(Dmax, 1, 1)
         seg = (cum_now[None] - cs_buf[:]) * invd \
-            + biasrot_ref[r].reshape(Dmax, 1, L)            # (Dmax, B, L)
+            + biasrot_ref[r].reshape(Dmax, L, 1)            # (Dmax, L, B)
 
         cand = q_buf[:] + seg
-        cm = jnp.maximum(jnp.max(cand, axis=0), NEG_INF)    # (B, L)
+        cm = jnp.maximum(jnp.max(cand, axis=0), NEG_INF)    # (L, B)
         alpha_t = cm + jnp.log(jnp.maximum(
             jnp.sum(jnp.exp(cand - cm[None]), axis=0), 1e-38))
         # padded frames: alpha stays NEG_INF (never read; logZ gathers
         # length-1)
-        valid = len_ref[:, 0:1] > t
+        valid = len_ref[0:1, :] > t                         # (1, B)
         alpha_t = jnp.where(valid, alpha_t, NEG_INF)
 
         alphas_ref[k] = alpha_t
-        # this frame's outgoing message: one (B, L) @ (L, L) MXU dot
-        m_t = jnp.maximum(jnp.max(alpha_t, axis=-1, keepdims=True),
-                          NEG_INF)
-        q_t = m_t + tmax_ref[0:1, :] + jnp.log(jnp.maximum(
-            jnp.dot(jnp.exp(alpha_t - m_t), P_ref[:],
+        # this frame's outgoing message: one (L, L) @ (L, B) MXU dot
+        m_t = jnp.maximum(jnp.max(alpha_t, axis=0, keepdims=True),
+                          NEG_INF)                          # (1, B)
+        q_t = m_t + tmax_ref[:, 0:1] + jnp.log(jnp.maximum(
+            jnp.dot(PT_ref[:], jnp.exp(alpha_t - m_t),
                     preferred_element_type=jnp.float32), 1e-38))
         # static slot write: frame t lands in slot t mod Dmax == r
         q_buf[r] = q_t
@@ -135,70 +140,63 @@ def segmental_forward_pallas(frame_scores_tm, trans, dur_bias, seg_bias,
     ``seg_bias``: (L,) or None.  Returns (alphas (T, B, L), logZ (B,)) —
     allclose to ops.segmental.segmental_forward on potentials built with
     models.segmental.seg_potentials.
+
+    Kernel-internal layout is TRANSPOSED (T, L, B): labels on sublanes
+    (exact at L = 48), batch on lanes (full at B = 128); the public
+    surface stays (T, B, L).
     """
     T, B, L = frame_scores_tm.shape
-    Bp, Lp = _round_up(B, _SUBLANE), _round_up(L, _LANE)
+    Ls, Bk, bias, trans_p, lengths_p = _pad_seg_lb(
+        L, B, trans, lengths, dur_bias, seg_bias, max_dur)
     Dmax = max_dur
-    fs = frame_scores_tm
-    if (Bp, Lp) != (B, L):
-        # padded labels contribute only through bias terms -> NEG_INF them
-        fs = jnp.pad(fs, ((0, 0), (0, Bp - B), (0, Lp - L)))
-        trans = jnp.pad(trans, ((0, Lp - L),) * 2, constant_values=NEG_INF)
-        lengths = jnp.pad(lengths, (0, Bp - B), constant_values=1)
-    bias = jnp.zeros((Dmax, Lp), jnp.float32)
-    if dur_bias is not None:
-        bias = bias.at[:, :L].add(dur_bias)
-    if seg_bias is not None:
-        bias = bias.at[:, :L].add(seg_bias[None, :])
-    if Lp != L:
-        bias = bias.at[:, L:].set(NEG_INF)
+    fs = jnp.swapaxes(frame_scores_tm, 1, 2)                # (T, L, B)
+    if (Ls, Bk) != (L, B):
+        fs = jnp.pad(fs, ((0, 0), (0, Ls - L), (0, Bk - B)))
 
     TB = _tblk(Dmax)
     Tp = _round_up(T, TB)
     if Tp != T:
         fs = jnp.pad(fs, ((0, Tp - T), (0, 0), (0, 0)))
     cum = jnp.cumsum(fs, axis=0)                            # cum[t] = sum 0..t
-    tmax = jnp.maximum(jnp.max(trans, axis=0), NEG_INF)
-    P = jnp.exp(trans - tmax[None, :])
-    tmax8 = jnp.broadcast_to(tmax[None, :], (_SUBLANE, Lp))
+    tmax = jnp.maximum(jnp.max(trans_p, axis=0), NEG_INF)   # (Ls,)
+    PT = jnp.exp(trans_p - tmax[None, :]).T                 # (Ls=l, Ls=p)
+    tmax2 = jnp.broadcast_to(tmax[:, None], (Ls, _LANE))
     invd = (1.0 / (jnp.arange(Dmax) + 1.0) if mean_pool
             else jnp.ones(Dmax))
     biasrot, invdrot = _rot_tables(bias, invd.astype(jnp.float32), Dmax)
     invdrot = jnp.broadcast_to(invdrot[..., None], (Dmax, Dmax, _LANE))
-    len2d = jnp.broadcast_to(lengths[:, None].astype(jnp.int32),
-                             (Bp, _LANE))
+    len2d = jnp.broadcast_to(lengths_p[None, :].astype(jnp.int32),
+                             (_SUBLANE, Bk))
 
     [alphas] = pl.pallas_call(
         functools.partial(_seg_fwd_kernel, TB, Dmax),
         grid=(Tp // TB,),
         in_specs=[
-            pl.BlockSpec((Bp, _LANE), lambda t: (0, 0),
+            pl.BlockSpec((_SUBLANE, Bk), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, Bp, Lp), lambda t: (t, 0, 0),
+            pl.BlockSpec((TB, Ls, Bk), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Lp, Lp), lambda t: (0, 0),
+            pl.BlockSpec((Ls, Ls), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_SUBLANE, Lp), lambda t: (0, 0),
+            pl.BlockSpec((Ls, _LANE), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Dmax, Dmax, Lp), lambda t: (0, 0, 0),
+            pl.BlockSpec((Dmax, Dmax, Ls), lambda t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Dmax, Dmax, _LANE), lambda t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TB, Bp, Lp), lambda t: (t, 0, 0),
+            pl.BlockSpec((TB, Ls, Bk), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_shape=[jax.ShapeDtypeStruct((Tp, Bp, Lp), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((Tp, Ls, Bk), jnp.float32)],
         scratch_shapes=[
-            pltpu.VMEM((Dmax, Bp, Lp), jnp.float32),
-            pltpu.VMEM((Dmax, Bp, Lp), jnp.float32),
+            pltpu.VMEM((Dmax, Ls, Bk), jnp.float32),
+            pltpu.VMEM((Dmax, Ls, Bk), jnp.float32),
         ],
         interpret=interpret,
-    )(len2d, cum, P, tmax8, biasrot, invdrot)
-    alphas = alphas[:T]
-
-    alphas = alphas[:, :B, :L]
+    )(len2d, cum, PT, tmax2, biasrot, invdrot)
+    alphas = jnp.swapaxes(alphas[:T], 1, 2)[:, :B, :L]      # (T, B, L)
     last = jnp.take_along_axis(
         alphas, (lengths[:B] - 1)[None, :, None].astype(jnp.int32)
         .repeat(L, axis=2), axis=0)[0]                       # (B, L)
@@ -208,28 +206,38 @@ def segmental_forward_pallas(frame_scores_tm, trans, dur_bias, seg_bias,
     return alphas, logZ
 
 
-def _pad_seg_inputs(cum, trans, bias, lengths):
-    """Shared padding for the backward kernels: (Bp, Lp) tiles, NEG_INF
-    semantics for padded labels, length-1 padded batch rows."""
+def _pad_seg_lb(L, B, trans, lengths, dur_bias, seg_bias, Dmax):
+    """Transposed-layout padding: labels to sublane multiples (Ls), batch
+    to full lanes (Bk); padded labels carry NEG_INF bias/trans rows,
+    padded batch lanes are length-1 rows (inert)."""
+    Ls, Bk = _round_up(L, _SUBLANE), _round_up(B, _LANE)
+    bias = jnp.zeros((Dmax, Ls), jnp.float32)
+    if dur_bias is not None:
+        bias = bias.at[:, :L].add(dur_bias)
+    if seg_bias is not None:
+        bias = bias.at[:, :L].add(seg_bias[None, :])
+    if Ls != L:
+        bias = bias.at[:, L:].set(NEG_INF)
+        trans = jnp.pad(trans, ((0, Ls - L),) * 2, constant_values=NEG_INF)
+    if Bk != B:
+        lengths = jnp.pad(lengths, (0, Bk - B), constant_values=1)
+    return Ls, Bk, bias, trans, lengths
+
+
+def _cum_lb(cum, Ls, Bk, Tp):
+    """(T, B, L) cumulative scores -> padded transposed (Tp, Ls, Bk)."""
     T, B, L = cum.shape
-    Bp, Lp = _round_up(B, _SUBLANE), _round_up(L, _LANE)
-    if (Bp, Lp) != (B, L):
-        cum = jnp.pad(cum, ((0, 0), (0, Bp - B), (0, Lp - L)))
-        trans = jnp.pad(trans, ((0, Lp - L),) * 2, constant_values=NEG_INF)
-        bias = jnp.pad(bias, ((0, 0), (0, Lp - L)), constant_values=NEG_INF)
-        lengths = jnp.pad(lengths, (0, Bp - B), constant_values=1)
-    return cum, trans, bias, lengths, Bp, Lp
+    cum = jnp.swapaxes(cum, 1, 2)
+    if (Ls, Bk) != (L, B):
+        cum = jnp.pad(cum, ((0, 0), (0, Ls - L), (0, Bk - B)))
+    if Tp != T:
+        cum = jnp.pad(cum, ((0, Tp - T), (0, 0), (0, 0)), mode="edge")
+    return cum
 
 
-def _invd2d(max_dur, mean_pool):
-    invd = (1.0 / (jnp.arange(max_dur) + 1.0) if mean_pool
-            else jnp.ones(max_dur))
-    return jnp.broadcast_to(invd[:, None].astype(jnp.float32),
-                            (max_dur, _LANE))
-
-
-def _len2d(lengths, Bp):
-    return jnp.broadcast_to(lengths[:, None].astype(jnp.int32), (Bp, _LANE))
+def _len_lb(lengths, Bk):
+    return jnp.broadcast_to(lengths[None, :].astype(jnp.int32),
+                            (_SUBLANE, Bk))
 
 
 def _rot_tables_bwd(bias, invd, Dmax: int):
@@ -244,7 +252,8 @@ def _rot_tables_bwd(bias, invd, Dmax: int):
 def _seg_bwd_kernel(TB, Dmax, len_ref, cum_ref, M_ref, tmaxr_ref,
                     biasrot_ref, invdrot_ref, betas_ref, beta_buf, cs_buf):
     # Descending grid over TB-frame blocks: step i handles block nb-1-i,
-    # frames t descending inside; consumes cum[t] = CS[t+1].
+    # frames t descending inside; consumes cum[t] = CS[t+1].  Transposed
+    # (L, B) planes (see _seg_fwd_kernel).
     #
     # Static circular slots (see _tblk): slot s holds beta[v] and CS[v+1]
     # for the future frame v ≡ s (mod Dmax); init beta = NEG_INF covers
@@ -254,12 +263,12 @@ def _seg_bwd_kernel(TB, Dmax, len_ref, cum_ref, M_ref, tmaxr_ref,
     # independent of d, so it factors OUT of the duration reduction,
     #   beta[t, l] = lse_{l'} trans[l, l'] + z[t, l'],
     #   z[t, l'] = lse_d seg[t+d+1, d, l'] + beta[t+d+1, l'],
-    # leaving ONE (B, L) @ (L, L) dot per frame — identical math, the
+    # leaving ONE (L, L) @ (L, B) dot per frame — identical math, the
     # backward mirror of the forward q-window (VERDICT r4 next #1).
     i = pl.program_id(0)
     nb = pl.num_programs(0)
     base = (nb - 1 - i) * TB
-    B, L = cs_buf.shape[1:]
+    L, B = cs_buf.shape[1:]
 
     @pl.when(i == 0)
     def _():
@@ -270,20 +279,20 @@ def _seg_bwd_kernel(TB, Dmax, len_ref, cum_ref, M_ref, tmaxr_ref,
         k = TB - 1 - j
         t = base + k
         r = k % Dmax
-        cs_next = cum_ref[k]                                # (B, L): CS[t+1]
+        cs_next = cum_ref[k]                                # (L, B): CS[t+1]
         invd = invdrot_ref[r][:, 0:1].reshape(Dmax, 1, 1)
         seg_next = (cs_buf[:] - cs_next[None]) * invd \
-            + biasrot_ref[r].reshape(Dmax, 1, L)            # seg (t+d+1, d)
+            + biasrot_ref[r].reshape(Dmax, L, 1)            # seg (t+d+1, d)
         w = seg_next + beta_buf[:]
-        cm = jnp.maximum(jnp.max(w, axis=0), NEG_INF)       # (B, L)
+        cm = jnp.maximum(jnp.max(w, axis=0), NEG_INF)       # (L, B)
         z = cm + jnp.log(jnp.maximum(
             jnp.sum(jnp.exp(w - cm[None]), axis=0), 1e-38))
-        zm = jnp.maximum(jnp.max(z, axis=-1, keepdims=True), NEG_INF)
-        prod = jnp.dot(jnp.exp(z - zm), M_ref[:],
-                       preferred_element_type=jnp.float32)  # (B, L)
-        beta_t = zm + tmaxr_ref[0:1, :] + jnp.log(
+        zm = jnp.maximum(jnp.max(z, axis=0, keepdims=True), NEG_INF)
+        prod = jnp.dot(M_ref[:], jnp.exp(z - zm),
+                       preferred_element_type=jnp.float32)  # (L, B)
+        beta_t = zm + tmaxr_ref[:, 0:1] + jnp.log(
             jnp.maximum(prod, 1e-38))
-        lenv = len_ref[:, 0:1]
+        lenv = len_ref[0:1, :]                              # (1, B)
         beta_t = jnp.where(t == lenv - 1, 0.0, beta_t)
         beta_t = jnp.where(t >= lenv, NEG_INF, beta_t)
 
@@ -303,11 +312,11 @@ def segmental_backward_pallas(cum, trans, bias, lengths, max_dur: int,
     (T, B, L) — allclose to ops.segmental_stream.seg_backward_stream."""
     T, B, L = cum.shape
     Dmax = max_dur
-    cum, trans, bias, lengths, Bp, Lp = _pad_seg_inputs(
-        cum, trans, bias, lengths)
-    tmax_row = jnp.maximum(jnp.max(trans, axis=1), NEG_INF)
-    M = jnp.exp(trans - tmax_row[:, None]).T
-    tmaxr8 = jnp.broadcast_to(tmax_row[None, :], (_SUBLANE, Lp))
+    Ls, Bk, bias, trans_p, lengths_p = _pad_seg_lb(
+        L, B, trans, lengths, bias, None, Dmax)
+    tmax_row = jnp.maximum(jnp.max(trans_p, axis=1), NEG_INF)
+    M = jnp.exp(trans_p - tmax_row[:, None])                # (Ls=l, Ls=l')
+    tmaxr2 = jnp.broadcast_to(tmax_row[:, None], (Ls, _LANE))
     invd = (1.0 / (jnp.arange(Dmax) + 1.0) if mean_pool
             else jnp.ones(Dmax))
     biasrot, invdrot = _rot_tables_bwd(bias, invd.astype(jnp.float32),
@@ -316,44 +325,43 @@ def segmental_backward_pallas(cum, trans, bias, lengths, max_dur: int,
 
     TB = _tblk(Dmax)
     Tp = _round_up(T, TB)
-    if Tp != T:
-        cum = jnp.pad(cum, ((0, Tp - T), (0, 0), (0, 0)), mode="edge")
+    cum = _cum_lb(cum, Ls, Bk, Tp)
     nb = Tp // TB
     [betas] = pl.pallas_call(
         functools.partial(_seg_bwd_kernel, TB, Dmax),
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((Bp, _LANE), lambda i: (0, 0),
+            pl.BlockSpec((_SUBLANE, Bk), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, Bp, Lp), lambda i: (nb - 1 - i, 0, 0),
+            pl.BlockSpec((TB, Ls, Bk), lambda i: (nb - 1 - i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Lp, Lp), lambda i: (0, 0),
+            pl.BlockSpec((Ls, Ls), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_SUBLANE, Lp), lambda i: (0, 0),
+            pl.BlockSpec((Ls, _LANE), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Dmax, Dmax, Lp), lambda i: (0, 0, 0),
+            pl.BlockSpec((Dmax, Dmax, Ls), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Dmax, Dmax, _LANE), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TB, Bp, Lp), lambda i: (nb - 1 - i, 0, 0),
+            pl.BlockSpec((TB, Ls, Bk), lambda i: (nb - 1 - i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_shape=[jax.ShapeDtypeStruct((Tp, Bp, Lp), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((Tp, Ls, Bk), jnp.float32)],
         scratch_shapes=[
-            pltpu.VMEM((Dmax, Bp, Lp), jnp.float32),
-            pltpu.VMEM((Dmax, Bp, Lp), jnp.float32),
+            pltpu.VMEM((Dmax, Ls, Bk), jnp.float32),
+            pltpu.VMEM((Dmax, Ls, Bk), jnp.float32),
         ],
         interpret=interpret,
-    )(_len2d(lengths, Bp), cum, M, tmaxr8, biasrot, invdrot)
-    return betas[:T, :B, :L]
+    )(_len_lb(lengths_p, Bk), cum, M, tmaxr2, biasrot, invdrot)
+    return jnp.swapaxes(betas[:T], 1, 2)[:, :B, :L]
 
 
 def _seg_grad_kernel(TB, Dmax, Tlim, len_ref, g_ref, logz_ref, cum_ref,
-                     alpha_ref, beta_ref, P_ref, tmax_ref, biasrot_ref,
+                     alpha_ref, beta_ref, PT_ref, tmax_ref, biasrot_ref,
                      invdrot_ref,
-                     A_ref, S_ref, Sfin_ref, Ffin_ref, gdr_ref, gt_ref,
+                     A_ref, S_ref, Sfin_ref, Ffin_ref, gdacc_ref, gt_ref,
                      alpha_buf, cs_buf, q_buf, scale_buf):
     # Ascending TB-frame blocks: xi[t, d] for all d in VMEM, accumulating
     # the gradient pieces (ops.segmental_stream._grad_scan, in-kernel),
@@ -378,69 +386,73 @@ def _seg_grad_kernel(TB, Dmax, Tlim, len_ref, g_ref, logz_ref, cum_ref,
     # a path posterior term bounded by ~logZ.  NEG_INF is a finite
     # sentinel, so -1e30 + 1e30 = 0 -> exp = 1 pairs with F = 0 (no inf).
     i = pl.program_id(0)
-    B, L = cs_buf.shape[1:]
+    L, B = cs_buf.shape[1:]
 
     @pl.when(i == 0)
     def _():
         alpha_buf[:] = jnp.full_like(alpha_buf, NEG_INF)
         q_buf[:] = jnp.full_like(q_buf, NEG_INF)
-        q_buf[Dmax - 1] = jnp.zeros((B, L), q_buf.dtype)  # u = -1: one
+        q_buf[Dmax - 1] = jnp.zeros((L, B), q_buf.dtype)  # u = -1: one
         cs_buf[:] = jnp.zeros_like(cs_buf)
         scale_buf[:] = jnp.full_like(scale_buf, NEG_INF)
         Sfin_ref[:] = jnp.zeros_like(Sfin_ref)
         Ffin_ref[:] = jnp.zeros_like(Ffin_ref)
-        gdr_ref[:] = jnp.zeros_like(gdr_ref)
+        gdacc_ref[:] = jnp.zeros_like(gdacc_ref)
         gt_ref[:] = jnp.zeros_like(gt_ref)
 
     for k in range(TB):
         t = i * TB + k
         r = k % Dmax
-        cum_now = cum_ref[k]
+        cum_now = cum_ref[k]                                # (L, B)
         alpha_t = alpha_ref[k]
         beta_t = beta_ref[k]
-        lenv = len_ref[:, 0:1]                              # (B, 1)
-        gB = g_ref[:, 0:1][None]                            # (1, B, 1)
+        lenv = len_ref[0:1, :]                              # (1, B)
+        gB = g_ref[0:1, :][None]                            # (1, 1, B)
 
         invd = invdrot_ref[r][:, 0:1].reshape(Dmax, 1, 1)
         seg = (cum_now[None] - cs_buf[:]) * invd \
-            + biasrot_ref[r].reshape(Dmax, 1, L)
-        x_v = seg + (beta_t - logz_ref[:, 0:1])[None]       # (Dmax, B, L)
+            + biasrot_ref[r].reshape(Dmax, L, 1)
+        x_v = seg + (beta_t - logz_ref[0:1, :])[None]       # (Dmax, L, B)
         valid = (lenv > t)[None]
         xi_g = jnp.where(valid, jnp.exp(q_buf[:] + x_v) * gB, 0.0)
 
         y = invd * xi_g
         A_ref[k] = jnp.sum(y, axis=0)
         Sfin_ref[:] = Sfin_ref[:] + y
-        gdr_ref[r] = gdr_ref[r] + jnp.sum(xi_g, axis=1)
+        # duration-resolved xi accumulation (duration d lives in slot
+        # (r - 1 - d) mod Dmax this frame — a static permutation)
+        for d in range(Dmax):
+            s = (r - 1 - d) % Dmax
+            gdacc_ref[d] = gdacc_ref[d] + xi_g[s]
         # F accumulation: exp(x_v + m_u) per slot, linear space
         Ffin_ref[:] = Ffin_ref[:] + jnp.where(
-            valid, jnp.exp(x_v + scale_buf[:, :, 0:1]), 0.0)
+            valid, jnp.exp(x_v + scale_buf[:, 0:1, :]), 0.0)
 
         @pl.when(t < Tlim)
         def _():
             # S emission: slot r holds completed S[t - Dmax + 1]
             S_ref[k] = Sfin_ref[r]
-            Sfin_ref[r] = jnp.zeros((B, L), jnp.float32)
+            Sfin_ref[r] = jnp.zeros((L, B), jnp.float32)
 
             # retire slot r (source frame u = t - Dmax): one K=B MXU pass
             def _retire():
                 a_u = alpha_buf[r]
-                U = jnp.exp(a_u - scale_buf[r][:, 0:1])     # (B, L)
-                V = Ffin_ref[r] * g_ref[:, 0:1]
+                U = jnp.exp(a_u - scale_buf[r][0:1, :])     # (L=p, B)
+                V = Ffin_ref[r] * g_ref[0:1, :]             # (L=l, B)
                 gt_ref[:] = gt_ref[:] + jax.lax.dot_general(
-                    U, V, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                    U, V, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)     # (p, l)
             if k >= Dmax:
                 _retire()
             else:
                 pl.when(i > 0)(_retire)
-            Ffin_ref[r] = jnp.zeros((B, L), jnp.float32)
+            Ffin_ref[r] = jnp.zeros((L, B), jnp.float32)
 
             # window writes: frame t lands in slot r = t mod Dmax
-            m_t = jnp.maximum(jnp.max(alpha_t, axis=-1, keepdims=True),
-                              NEG_INF)
-            q_t = m_t + tmax_ref[0:1, :] + jnp.log(jnp.maximum(
-                jnp.dot(jnp.exp(alpha_t - m_t), P_ref[:],
+            m_t = jnp.maximum(jnp.max(alpha_t, axis=0, keepdims=True),
+                              NEG_INF)                      # (1, B)
+            q_t = m_t + tmax_ref[:, 0:1] + jnp.log(jnp.maximum(
+                jnp.dot(PT_ref[:], jnp.exp(alpha_t - m_t),
                         preferred_element_type=jnp.float32), 1e-38))
             q_buf[r] = q_t
             alpha_buf[r] = alpha_t
@@ -461,110 +473,107 @@ def segmental_grad_pallas(cum, trans, bias, lengths, alphas, betas, logZ, g,
 
     Slot bookkeeping finished here on XLA (all static index juggling):
     the S leftovers come back slot-ordered (acc_fin[j] = slot of start
-    frame T-j), gd comes back per (frame-phase r, slot s) and is summed
-    over the static slot->duration rotation, and the last Dmax source
-    frames' U^T V terms — whose slots never retire in-kernel — are
-    contracted here from the returned F accumulators (same per-slot scale
-    as in-kernel: m_u recomputed from the padded alphas, bit-identical)."""
+    frame T-j), and the last Dmax source frames' U^T V terms — whose
+    slots never retire in-kernel — are contracted here from the returned
+    F accumulators (same per-slot scale as in-kernel: m_u recomputed
+    from the padded transposed alphas, bit-identical)."""
     T, B, L = cum.shape
     Dmax = max_dur
-    cum, trans, bias, lengths, Bp, Lp = _pad_seg_inputs(
-        cum, trans, bias, lengths)
-    if (Bp, Lp) != (B, L):
-        pad3 = ((0, 0), (0, Bp - B), (0, Lp - L))
-        alphas = jnp.pad(alphas, pad3, constant_values=NEG_INF)
-        betas = jnp.pad(betas, pad3, constant_values=NEG_INF)
-        logZ = jnp.pad(logZ, (0, Bp - B))
-        g = jnp.pad(g, (0, Bp - B))                         # 0: inert rows
-    tmax = jnp.maximum(jnp.max(trans, axis=0), NEG_INF)
-    P = jnp.exp(trans - tmax[None, :])
-    tmax8 = jnp.broadcast_to(tmax[None, :], (_SUBLANE, Lp))
-    g2d = jnp.broadcast_to(g.astype(jnp.float32)[:, None], (Bp, _LANE))
-    logz2d = jnp.broadcast_to(logZ.astype(jnp.float32)[:, None],
-                              (Bp, _LANE))
+    Ls, Bk, bias, trans_p, lengths_p = _pad_seg_lb(
+        L, B, trans, lengths, bias, None, Dmax)
+    TB = _tblk(Dmax)
+    Tp = _round_up(T, TB)
+    cum = _cum_lb(cum, Ls, Bk, Tp)
+
+    def _lb(x):                               # (T,B,L) -> (Tp, Ls, Bk)
+        x = jnp.swapaxes(x, 1, 2)
+        return jnp.pad(x, ((0, Tp - T), (0, Ls - L), (0, Bk - B)),
+                       constant_values=NEG_INF)
+
+    alphas = _lb(alphas)
+    betas = _lb(betas)
+    if Bk != B:
+        logZ = jnp.pad(logZ, (0, Bk - B))
+        g = jnp.pad(g, (0, Bk - B))                         # 0: inert rows
+    tmax = jnp.maximum(jnp.max(trans_p, axis=0), NEG_INF)
+    PT = jnp.exp(trans_p - tmax[None, :]).T
+    tmax2 = jnp.broadcast_to(tmax[:, None], (Ls, _LANE))
+    g2d = jnp.broadcast_to(g.astype(jnp.float32)[None, :],
+                           (_SUBLANE, Bk))
+    logz2d = jnp.broadcast_to(logZ.astype(jnp.float32)[None, :],
+                              (_SUBLANE, Bk))
     invd = (1.0 / (jnp.arange(Dmax) + 1.0) if mean_pool
             else jnp.ones(Dmax))
     biasrot, invdrot = _rot_tables(bias, invd.astype(jnp.float32), Dmax)
     invdrot = jnp.broadcast_to(invdrot[..., None], (Dmax, Dmax, _LANE))
 
-    TB = _tblk(Dmax)
-    Tp = _round_up(T, TB)
-    if Tp != T:
-        cum = jnp.pad(cum, ((0, Tp - T), (0, 0), (0, 0)), mode="edge")
-        pad_t = ((0, Tp - T), (0, 0), (0, 0))
-        alphas = jnp.pad(alphas, pad_t, constant_values=NEG_INF)
-        betas = jnp.pad(betas, pad_t, constant_values=NEG_INF)
     whole = lambda i: (0, 0)
     whole3 = lambda i: (0, 0, 0)
     row = lambda i: (i, 0, 0)
-    A, S_emit, S_fin, F_fin, gd_by_r, gt = pl.pallas_call(
+    A, S_emit, S_fin, F_fin, gd_acc, gt = pl.pallas_call(
         functools.partial(_seg_grad_kernel, TB, Dmax, T),
         grid=(Tp // TB,),
         in_specs=[
-            pl.BlockSpec((Bp, _LANE), whole, memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bp, _LANE), whole, memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bp, _LANE), whole, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, Bp, Lp), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, Bp, Lp), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, Bp, Lp), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((Lp, Lp), whole, memory_space=pltpu.VMEM),
-            pl.BlockSpec((_SUBLANE, Lp), whole, memory_space=pltpu.VMEM),
-            pl.BlockSpec((Dmax, Dmax, Lp), whole3,
+            pl.BlockSpec((_SUBLANE, Bk), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((_SUBLANE, Bk), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((_SUBLANE, Bk), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, Ls, Bk), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, Ls, Bk), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, Ls, Bk), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Ls, Ls), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Ls, _LANE), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Dmax, Dmax, Ls), whole3,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Dmax, Dmax, _LANE), whole3,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TB, Bp, Lp), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, Bp, Lp), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((Dmax, Bp, Lp), whole3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((Dmax, Bp, Lp), whole3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((Dmax, Dmax, Lp), whole3,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Lp, Lp), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, Ls, Bk), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, Ls, Bk), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Dmax, Ls, Bk), whole3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Dmax, Ls, Bk), whole3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Dmax, Ls, Bk), whole3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Ls, Ls), whole, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Tp, Bp, Lp), jnp.float32),
-            jax.ShapeDtypeStruct((Tp, Bp, Lp), jnp.float32),
-            jax.ShapeDtypeStruct((Dmax, Bp, Lp), jnp.float32),
-            jax.ShapeDtypeStruct((Dmax, Bp, Lp), jnp.float32),
-            jax.ShapeDtypeStruct((Dmax, Dmax, Lp), jnp.float32),
-            jax.ShapeDtypeStruct((Lp, Lp), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, Ls, Bk), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, Ls, Bk), jnp.float32),
+            jax.ShapeDtypeStruct((Dmax, Ls, Bk), jnp.float32),
+            jax.ShapeDtypeStruct((Dmax, Ls, Bk), jnp.float32),
+            jax.ShapeDtypeStruct((Dmax, Ls, Bk), jnp.float32),
+            jax.ShapeDtypeStruct((Ls, Ls), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((Dmax, Bp, Lp), jnp.float32),
-            pltpu.VMEM((Dmax, Bp, Lp), jnp.float32),
-            pltpu.VMEM((Dmax, Bp, Lp), jnp.float32),
-            pltpu.VMEM((Dmax, Bp, _LANE), jnp.float32),
+            pltpu.VMEM((Dmax, Ls, Bk), jnp.float32),
+            pltpu.VMEM((Dmax, Ls, Bk), jnp.float32),
+            pltpu.VMEM((Dmax, Ls, Bk), jnp.float32),
+            pltpu.VMEM((Dmax, _SUBLANE, Bk), jnp.float32),
         ],
         interpret=interpret,
-    )(_len2d(lengths, Bp), g2d, logz2d, cum, alphas, betas, P, tmax8,
+    )(_len_lb(lengths_p, Bk), g2d, logz2d, cum, alphas, betas, PT, tmax2,
       biasrot, invdrot)
 
     import numpy as np
     # S leftovers: slot of start frame u' = T - j is (u' - 1) mod Dmax
     sj = (T - 1 - np.arange(Dmax)) % Dmax
     acc_fin = S_fin[jnp.asarray(sj)]
-    # gd: sum the per-phase slot rows into duration order
-    # (slot of duration d at phase r is s = (r - 1 - d) mod Dmax)
-    rr = np.arange(Dmax)
-    s_of = (rr[:, None] - 1 - np.arange(Dmax)[None, :]) % Dmax  # [r, d]
-    gd = jnp.sum(gd_by_r[jnp.asarray(rr)[:, None], jnp.asarray(s_of)],
-                 axis=0)
+    gd = jnp.sum(gd_acc, axis=2)                               # (Dmax, Ls)
     # drain: slots never retired hold source frames u(s) = largest
     # u ≡ s (mod Dmax) with u <= T-1; alpha rows for u < 0 were never
     # written (init NEG_INF) -> their exp-scale product is exactly 0
     u_of = T - 1 - ((T - 1 - np.arange(Dmax)) % Dmax)
     live = u_of >= 0
     u_idx = jnp.asarray(np.where(live, u_of, 0))
-    a_u = alphas[u_idx]                                        # (Dmax,Bp,Lp)
-    m_u = jnp.maximum(jnp.max(a_u, axis=-1, keepdims=True), NEG_INF)
+    a_u = alphas[u_idx]                                        # (Dmax,Ls,Bk)
+    m_u = jnp.maximum(jnp.max(a_u, axis=1, keepdims=True), NEG_INF)
     U = jnp.where(jnp.asarray(live)[:, None, None],
                   jnp.exp(a_u - m_u), 0.0)
-    V = F_fin * g.astype(jnp.float32)[None, :, None]
-    gt = gt + jnp.einsum("sbp,sbl->pl", U, V,
+    V = F_fin * g.astype(jnp.float32)[None, None, :]
+    gt = gt + jnp.einsum("spb,slb->pl", U, V,
                          preferred_element_type=jnp.float32)
-    return (A[:T, :B, :L], S_emit[:T, :B, :L], acc_fin[:, :B, :L],
+    A = jnp.swapaxes(A[:T], 1, 2)[:, :B, :L]
+    S_emit = jnp.swapaxes(S_emit[:T], 1, 2)[:, :B, :L]
+    return (A, S_emit, jnp.swapaxes(acc_fin, 1, 2)[:, :B, :L],
             gd[:, :L], gt[:L, :L])
 
 
@@ -572,37 +581,40 @@ def segmental_grad_pallas(cum, trans, bias, lengths, alphas, betas, logZ, g,
 # segmental max-plus decode (streaming Viterbi forward)
 # ---------------------------------------------------------------------------
 
-def _seg_vit_kernel(TB, Dmax, lsub, thr, len_ref, cum_ref, trans_ref,
+def _seg_vit_kernel(TB, Dmax, thr, len_ref, cum_ref, transS_ref,
                     biasrot_ref, invdrot_ref, deltas_ref, argd_ref, M_buf,
                     cs_buf):
     """Max-plus analogue of the forward kernel with the M-window
     restructure: the duration message ``max_p delta[t-1-d, p] + trans[p,l]``
-    depends only on ``u = t-1-d``, so ONE (B, lsub, L) max-plus per frame
+    depends only on ``u = t-1-d``, so ONE (L, L, B) max-plus per frame
     (computed when frame u's delta is emitted) rides the window — the
-    naive per-frame (Dmax, B, L, L) tensor never exists.  Static circular
-    slots as in _seg_fwd_kernel (rolls and the d == t / d > t masks fall
-    out of initialization); the duration argmax minimizes the REAL
-    duration d = (t-1-s) mod Dmax over slots, preserving the XLA path's
-    shortest-duration tie-break.  Emits deltas and the duration argmax;
-    predecessor argmaxes are re-derived per segment jump in the
-    traceback."""
+    naive per-frame (Dmax, L, L, B) tensor never exists.  Static circular
+    slots and transposed (L, B) planes as in _seg_fwd_kernel (rolls and
+    the d == t / d > t masks fall out of initialization); the duration
+    argmax minimizes the REAL duration d = (t-1-s) mod Dmax over slots,
+    preserving the XLA path's shortest-duration tie-break.
+    ``transS_ref``: (L=p, L=l, 1) slab-major transitions so the
+    predecessor max-plus is pure broadcasting (the r4 (B, L) layout paid
+    a lane->sublane relayout per frame here).  Emits deltas and the
+    duration argmax; predecessor argmaxes are re-derived per segment
+    jump in the traceback."""
     i = pl.program_id(0)
-    B, L = cs_buf.shape[1:]
+    L, B = cs_buf.shape[1:]
 
     @pl.when(i == 0)
     def _():
         M_buf[:] = jnp.full_like(M_buf, NEG_INF)
-        M_buf[Dmax - 1] = jnp.zeros((B, L), M_buf.dtype)  # u = -1: one
+        M_buf[Dmax - 1] = jnp.zeros((L, B), M_buf.dtype)  # u = -1: one
         cs_buf[:] = jnp.zeros_like(cs_buf)
 
     for k in range(TB):
         t = i * TB + k
         r = k % Dmax
-        cum_now = cum_ref[k]                                # (B, L)
+        cum_now = cum_ref[k]                                # (L, B)
         invd = invdrot_ref[r][:, 0:1].reshape(Dmax, 1, 1)
         seg = (cum_now[None] - cs_buf[:]) * invd \
-            + biasrot_ref[r].reshape(Dmax, 1, L)
-        cand = M_buf[:] + seg                               # (Dmax, B, L)
+            + biasrot_ref[r].reshape(Dmax, L, 1)
+        cand = M_buf[:] + seg                               # (Dmax, L, B)
         delta_t = jnp.max(cand, axis=0)
         # real duration of slot s at this frame: d = (r - 1 - s) mod Dmax
         si = jax.lax.broadcasted_iota(jnp.int32, (Dmax, 1, 1), 0)
@@ -611,18 +623,16 @@ def _seg_vit_kernel(TB, Dmax, lsub, thr, len_ref, cum_ref, trans_ref,
         argd = jnp.min(jnp.where(cand == delta_t[None], d_of, Dmax),
                        axis=0)
         if thr is not None:
-            rowm = jnp.max(delta_t, axis=-1, keepdims=True)
+            rowm = jnp.max(delta_t, axis=0, keepdims=True)
             delta_t = jnp.where(delta_t >= rowm - thr, delta_t, NEG_INF)
-        valid = len_ref[:, 0:1] > t
+        valid = len_ref[0:1, :] > t
         delta_t = jnp.where(valid, delta_t, NEG_INF)
         deltas_ref[k] = delta_t
         argd_ref[k] = argd
 
-        # message window for later frames (one max-plus, reduction over
-        # the real predecessor rows only)
-        dl = jax.lax.slice(delta_t, (0, 0), (B, lsub))
-        cand_p = dl[:, :, None] + trans_ref[0:lsub, :][None, :, :]
-        M_buf[r] = jnp.max(cand_p, axis=1)                  # (B, L)
+        # message window for later frames: max over predecessor slabs
+        cand_p = delta_t[:, None, :] + transS_ref[:]        # (p, l, B)
+        M_buf[r] = jnp.max(cand_p, axis=0)                  # (L, B)
         cs_buf[r] = cum_now
 
 
@@ -637,20 +647,12 @@ def segmental_viterbi_pallas(frame_scores_tm, trans, dur_bias, seg_bias,
     the XLA traceback.  ``beam_threshold``: score-margin pruning on the
     per-frame deltas (None = exact)."""
     T, B, L = frame_scores_tm.shape
-    Bp, Lp = _round_up(B, _SUBLANE), _round_up(L, _LANE)
     Dmax = max_dur
-    fs = frame_scores_tm
-    if (Bp, Lp) != (B, L):
-        fs = jnp.pad(fs, ((0, 0), (0, Bp - B), (0, Lp - L)))
-        trans = jnp.pad(trans, ((0, Lp - L),) * 2, constant_values=NEG_INF)
-        lengths = jnp.pad(lengths, (0, Bp - B), constant_values=1)
-    bias = jnp.zeros((Dmax, Lp), jnp.float32)
-    if dur_bias is not None:
-        bias = bias.at[:, :L].add(dur_bias)
-    if seg_bias is not None:
-        bias = bias.at[:, :L].add(seg_bias[None, :])
-    if Lp != L:
-        bias = bias.at[:, L:].set(NEG_INF)
+    Ls, Bk, bias, trans_p, lengths_p = _pad_seg_lb(
+        L, B, trans, lengths, dur_bias, seg_bias, Dmax)
+    fs = jnp.swapaxes(frame_scores_tm, 1, 2)
+    if (Ls, Bk) != (L, B):
+        fs = jnp.pad(fs, ((0, 0), (0, Ls - L), (0, Bk - B)))
     TB = _tblk(Dmax)
     Tp = _round_up(T, TB)
     if Tp != T:
@@ -660,44 +662,42 @@ def segmental_viterbi_pallas(frame_scores_tm, trans, dur_bias, seg_bias,
             else jnp.ones(Dmax))
     biasrot, invdrot = _rot_tables(bias, invd.astype(jnp.float32), Dmax)
     invdrot = jnp.broadcast_to(invdrot[..., None], (Dmax, Dmax, _LANE))
-    len2d = jnp.broadcast_to(lengths[:, None].astype(jnp.int32),
-                             (Bp, _LANE))
-    lsub = _round_up(L, _SUBLANE)
+    transS = trans_p[:, :, None]                            # (p, l, 1)
 
     deltas, argd = pl.pallas_call(
-        functools.partial(_seg_vit_kernel, TB, Dmax, lsub, beam_threshold),
+        functools.partial(_seg_vit_kernel, TB, Dmax, beam_threshold),
         grid=(Tp // TB,),
         in_specs=[
-            pl.BlockSpec((Bp, _LANE), lambda t: (0, 0),
+            pl.BlockSpec((_SUBLANE, Bk), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, Bp, Lp), lambda t: (t, 0, 0),
+            pl.BlockSpec((TB, Ls, Bk), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Lp, Lp), lambda t: (0, 0),
+            pl.BlockSpec((Ls, Ls, 1), lambda t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Dmax, Dmax, Lp), lambda t: (0, 0, 0),
+            pl.BlockSpec((Dmax, Dmax, Ls), lambda t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Dmax, Dmax, _LANE), lambda t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TB, Bp, Lp), lambda t: (t, 0, 0),
+            pl.BlockSpec((TB, Ls, Bk), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, Bp, Lp), lambda t: (t, 0, 0),
+            pl.BlockSpec((TB, Ls, Bk), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Tp, Bp, Lp), jnp.float32),
-            jax.ShapeDtypeStruct((Tp, Bp, Lp), jnp.int32),
+            jax.ShapeDtypeStruct((Tp, Ls, Bk), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, Ls, Bk), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((Dmax, Bp, Lp), jnp.float32),
-            pltpu.VMEM((Dmax, Bp, Lp), jnp.float32),
+            pltpu.VMEM((Dmax, Ls, Bk), jnp.float32),
+            pltpu.VMEM((Dmax, Ls, Bk), jnp.float32),
         ],
         interpret=interpret,
-    )(len2d, cum, trans, biasrot, invdrot)
+    )(_len_lb(lengths_p, Bk), cum, transS, biasrot, invdrot)
 
-    deltas = deltas[:T, :B, :L]
-    argd = argd[:T, :B, :L]
+    deltas = jnp.swapaxes(deltas[:T], 1, 2)[:, :B, :L]
+    argd = jnp.swapaxes(argd[:T], 1, 2)[:, :B, :L]
     # clip the final-frame gather and mask zero-length rows to NEG_INF,
     # matching the XLA seg_viterbi_stream (a raw lengths-1 would index
     # frame -1 and return garbage scores for length-0 padding rows)
@@ -712,7 +712,7 @@ def segmental_viterbi_pallas(frame_scores_tm, trans, dur_bias, seg_bias,
 
 
 def _seg_vit_tb_kernel(TB, len_ref, lab0_ref, deltas_ref, argd_ref,
-                       transT_ref, out_lab_ref, out_start_ref, cur_t,
+                       trans_ref, out_lab_ref, out_start_ref, cur_t,
                        pending):
     """Segment traceback as a descending frame grid (single launch — the
     vmapped while_loop traceback is iteration-launch-bound on TPU), TB
@@ -726,14 +726,15 @@ def _seg_vit_tb_kernel(TB, len_ref, lab0_ref, deltas_ref, argd_ref,
     reaches frame start-1 its delta row is resident and the predecessor
     argmax (and that segment's own duration lookup) happen locally.
 
-    Orientation: batch on sublanes everywhere ((B, 1) carries broadcast
-    along lanes) — Mosaic has no general small-transpose lowering.
-    ``transT_ref`` is trans^T, precomputed by the wrapper.
+    Orientation: transposed (L, B) planes like the rest of the family —
+    labels on sublanes, batch on lanes; (1, B) carries broadcast along
+    sublanes.  ``trans_ref`` is the plain (L=p, L=l) transition matrix
+    (the one-hot contraction below wants p rows out).
     """
     i = pl.program_id(0)
     nb = pl.num_programs(0)
-    B, L = deltas_ref.shape[1:]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    L, B = deltas_ref.shape[1:]
+    lab = jax.lax.broadcasted_iota(jnp.int32, (L, B), 0)
 
     @pl.when(i == 0)
     def _():
@@ -745,23 +746,23 @@ def _seg_vit_tb_kernel(TB, len_ref, lab0_ref, deltas_ref, argd_ref,
         t = (nb - 1 - i) * TB + k
         # padded tail frames (t >= the real T) are inert: cur_t starts at
         # length-1 < t, so `active` is false and the carries pass through
-        active = cur_t[:, 0:1] == t                          # (B, 1)
-        delta_u = deltas_ref[k]                              # (B, L)
+        active = cur_t[0:1, :] == t                          # (1, B)
+        delta_u = deltas_ref[k]                              # (L, B)
         # trans column for each row's pending label:
-        # v2[b, p] = trans[p, lab_b]
-        onehot = jnp.where(lane == pending[:, 0:1], 1.0, 0.0)
-        v2 = jnp.dot(onehot, transT_ref[:],
-                     preferred_element_type=jnp.float32)     # (B, L=p)
+        # v2[p, b] = trans[p, lab_b]
+        onehot = jnp.where(lab == pending[0:1, :], 1.0, 0.0)
+        v2 = jnp.dot(trans_ref[:], onehot,
+                     preferred_element_type=jnp.float32)     # (L=p, B)
         cand = delta_u + v2
-        m = jnp.max(cand, axis=-1, keepdims=True)
-        prev = jnp.min(jnp.where(cand == m, lane, L), axis=-1,
-                       keepdims=True)                        # (B, 1)
-        first = pending[:, 0:1] < 0                          # initial seg
-        lab_end = jnp.where(first, lab0_ref[:, 0:1], prev)
-        lab_end = jnp.clip(lab_end, 0, L - 1)                # (B, 1)
-        hot = jnp.where(lane == lab_end, 1.0, 0.0)
-        d = jnp.sum(argd_ref[k].astype(jnp.float32) * hot, axis=-1,
-                    keepdims=True).astype(jnp.int32)         # (B, 1)
+        m = jnp.max(cand, axis=0, keepdims=True)
+        prev = jnp.min(jnp.where(cand == m, lab, L), axis=0,
+                       keepdims=True)                        # (1, B)
+        first = pending[0:1, :] < 0                          # initial seg
+        lab_end = jnp.where(first, lab0_ref[0:1, :], prev)
+        lab_end = jnp.clip(lab_end, 0, L - 1)                # (1, B)
+        hot = jnp.where(lab == lab_end, 1.0, 0.0)
+        d = jnp.sum(argd_ref[k].astype(jnp.float32) * hot, axis=0,
+                    keepdims=True).astype(jnp.int32)         # (1, B)
         start = t - d
 
         out_lab_ref[k] = jnp.broadcast_to(
@@ -778,18 +779,20 @@ def segmental_viterbi_traceback_pallas(deltas, argd, trans, lab0, lengths,
     """(T, B, L) deltas/argd -> per-frame segment-end markers
     ``(end_lab (T, B) int32, -1 where no segment ends; start (T, B))``."""
     T, B, L = deltas.shape
-    Bp, Lp = _round_up(B, _SUBLANE), _round_up(L, _LANE)
-    if (Bp, Lp) != (B, L):
-        deltas = jnp.pad(deltas, ((0, 0), (0, Bp - B), (0, Lp - L)),
+    Ls, Bk = _round_up(L, _SUBLANE), _round_up(B, _LANE)
+    deltas = jnp.swapaxes(deltas, 1, 2)
+    argd = jnp.swapaxes(argd, 1, 2)
+    if (Ls, Bk) != (L, B):
+        deltas = jnp.pad(deltas, ((0, 0), (0, Ls - L), (0, Bk - B)),
                          constant_values=NEG_INF)
-        argd = jnp.pad(argd, ((0, 0), (0, Bp - B), (0, Lp - L)))
-        trans = jnp.pad(trans, ((0, Lp - L),) * 2, constant_values=NEG_INF)
-        lab0 = jnp.pad(lab0, (0, Bp - B))
-        lengths = jnp.pad(lengths, (0, Bp - B), constant_values=0)
-    len2 = jnp.broadcast_to(lengths[:, None].astype(jnp.int32),
-                            (Bp, _LANE))
-    lab02 = jnp.broadcast_to(lab0[:, None].astype(jnp.int32),
-                             (Bp, _LANE))
+        argd = jnp.pad(argd, ((0, 0), (0, Ls - L), (0, Bk - B)))
+        trans = jnp.pad(trans, ((0, Ls - L),) * 2, constant_values=NEG_INF)
+        lab0 = jnp.pad(lab0, (0, Bk - B))
+        lengths = jnp.pad(lengths, (0, Bk - B), constant_values=0)
+    len2 = jnp.broadcast_to(lengths[None, :].astype(jnp.int32),
+                            (_SUBLANE, Bk))
+    lab02 = jnp.broadcast_to(lab0[None, :].astype(jnp.int32),
+                             (_SUBLANE, Bk))
     TB = _TBLK
     Tp = _round_up(T, TB)
     if Tp != T:
@@ -801,29 +804,29 @@ def segmental_viterbi_traceback_pallas(deltas, argd, trans, lab0, lengths,
         functools.partial(_seg_vit_tb_kernel, TB),
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((Bp, _LANE), lambda i: (0, 0),
+            pl.BlockSpec((_SUBLANE, Bk), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bp, _LANE), lambda i: (0, 0),
+            pl.BlockSpec((_SUBLANE, Bk), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, Bp, Lp), lambda i: (nb - 1 - i, 0, 0),
+            pl.BlockSpec((TB, Ls, Bk), lambda i: (nb - 1 - i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, Bp, Lp), lambda i: (nb - 1 - i, 0, 0),
+            pl.BlockSpec((TB, Ls, Bk), lambda i: (nb - 1 - i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Lp, Lp), lambda i: (0, 0),
+            pl.BlockSpec((Ls, Ls), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TB, Bp, _LANE), lambda i: (nb - 1 - i, 0, 0),
+            pl.BlockSpec((TB, _SUBLANE, Bk), lambda i: (nb - 1 - i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, Bp, _LANE), lambda i: (nb - 1 - i, 0, 0),
+            pl.BlockSpec((TB, _SUBLANE, Bk), lambda i: (nb - 1 - i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Tp, Bp, _LANE), jnp.int32),
-            jax.ShapeDtypeStruct((Tp, Bp, _LANE), jnp.int32),
+            jax.ShapeDtypeStruct((Tp, _SUBLANE, Bk), jnp.int32),
+            jax.ShapeDtypeStruct((Tp, _SUBLANE, Bk), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((Bp, _LANE), jnp.int32),
-                        pltpu.VMEM((Bp, _LANE), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((_SUBLANE, Bk), jnp.int32),
+                        pltpu.VMEM((_SUBLANE, Bk), jnp.int32)],
         interpret=interpret,
-    )(len2, lab02, deltas, argd, jnp.transpose(trans))
-    return out_lab[:T, :B, 0], out_start[:T, :B, 0]
+    )(len2, lab02, deltas, argd, trans)
+    return out_lab[:T, 0, :B], out_start[:T, 0, :B]
