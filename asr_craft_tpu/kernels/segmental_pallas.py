@@ -68,8 +68,9 @@ def _rot_tables(bias, invd, Dmax: int):
     return bias[d_of], invd[d_of]
 
 
-def _seg_fwd_kernel(TB, Dmax, len_ref, cum_ref, PT_ref, tmax_ref,
-                    biasrot_ref, invdrot_ref, alphas_ref, q_buf, cs_buf):
+def _seg_fwd_kernel(TB, Dmax, len_ref, fs_ref, PT_ref, tmax_ref,
+                    biasrot_ref, invdrot_ref, alphas_ref, q_buf, cs_buf,
+                    cumrun):
     # Grid: (Tp/TB,); step i processes frames t = i*TB + k, consuming
     # cum[t+1] and emitting alpha[t].
     #
@@ -97,11 +98,15 @@ def _seg_fwd_kernel(TB, Dmax, len_ref, cum_ref, PT_ref, tmax_ref,
         q_buf[:] = jnp.full_like(q_buf, NEG_INF)
         q_buf[Dmax - 1] = jnp.zeros((L, B), q_buf.dtype)
         cs_buf[:] = jnp.zeros_like(cs_buf)
+        cumrun[:] = jnp.zeros_like(cumrun)
 
     for k in range(TB):
         t = i * TB + k
         r = k % Dmax
-        cum_now = cum_ref[k]                                # (L, B): cum[t+1]
+        # in-kernel running cumulative score: CS[t+1] (r5 — the XLA-side
+        # jnp.cumsum was a ~9-pass log-depth scan over the whole tensor)
+        cum_now = cumrun[:] + fs_ref[k]                     # (L, B)
+        cumrun[:] = cum_now
 
         invd = invdrot_ref[r][:, 0:1].reshape(Dmax, 1, 1)
         seg = (cum_now[None] - cs_buf[:]) * invd \
@@ -157,7 +162,6 @@ def segmental_forward_pallas(frame_scores_tm, trans, dur_bias, seg_bias,
     Tp = _round_up(T, TB)
     if Tp != T:
         fs = jnp.pad(fs, ((0, Tp - T), (0, 0), (0, 0)))
-    cum = jnp.cumsum(fs, axis=0)                            # cum[t] = sum 0..t
     tmax = jnp.maximum(jnp.max(trans_p, axis=0), NEG_INF)   # (Ls,)
     PT = jnp.exp(trans_p - tmax[None, :]).T                 # (Ls=l, Ls=p)
     tmax2 = jnp.broadcast_to(tmax[:, None], (Ls, _LANE))
@@ -193,9 +197,10 @@ def segmental_forward_pallas(frame_scores_tm, trans, dur_bias, seg_bias,
         scratch_shapes=[
             pltpu.VMEM((Dmax, Ls, Bk), jnp.float32),
             pltpu.VMEM((Dmax, Ls, Bk), jnp.float32),
+            pltpu.VMEM((Ls, Bk), jnp.float32),
         ],
         interpret=interpret,
-    )(len2d, cum, PT, tmax2, biasrot, invdrot)
+    )(len2d, fs, PT, tmax2, biasrot, invdrot)
     alphas = jnp.swapaxes(alphas[:T], 1, 2)[:, :B, :L]      # (T, B, L)
     last = jnp.take_along_axis(
         alphas, (lengths[:B] - 1)[None, :, None].astype(jnp.int32)
@@ -249,8 +254,9 @@ def _rot_tables_bwd(bias, invd, Dmax: int):
     return bias[d_of], invd[d_of]
 
 
-def _seg_bwd_kernel(TB, Dmax, len_ref, cum_ref, M_ref, tmaxr_ref,
-                    biasrot_ref, invdrot_ref, betas_ref, beta_buf, cs_buf):
+def _seg_bwd_kernel(TB, Dmax, len_ref, fs_ref, total_ref, M_ref,
+                    tmaxr_ref, biasrot_ref, invdrot_ref, betas_ref,
+                    beta_buf, cs_buf, suf):
     # Descending grid over TB-frame blocks: step i handles block nb-1-i,
     # frames t descending inside; consumes cum[t] = CS[t+1].  Transposed
     # (L, B) planes (see _seg_fwd_kernel).
@@ -274,12 +280,15 @@ def _seg_bwd_kernel(TB, Dmax, len_ref, cum_ref, M_ref, tmaxr_ref,
     def _():
         beta_buf[:] = jnp.full_like(beta_buf, NEG_INF)
         cs_buf[:] = jnp.zeros_like(cs_buf)
+        suf[:] = jnp.zeros_like(suf)
 
     for j in range(TB):
         k = TB - 1 - j
         t = base + k
         r = k % Dmax
-        cs_next = cum_ref[k]                                # (L, B): CS[t+1]
+        # in-kernel descending cumulative score: CS[t+1] = total - suffix
+        # (suf = sum of frames > t; updated after this frame)
+        cs_next = total_ref[:] - suf[:]                     # (L, B)
         invd = invdrot_ref[r][:, 0:1].reshape(Dmax, 1, 1)
         seg_next = (cs_buf[:] - cs_next[None]) * invd \
             + biasrot_ref[r].reshape(Dmax, L, 1)            # seg (t+d+1, d)
@@ -300,17 +309,21 @@ def _seg_bwd_kernel(TB, Dmax, len_ref, cum_ref, M_ref, tmaxr_ref,
         # static slot write: frame t ≡ k ≡ r (mod Dmax)
         beta_buf[r] = beta_t
         cs_buf[r] = cs_next
+        suf[:] = suf[:] + fs_ref[k]
 
 
 @functools.partial(jax.jit, static_argnames=("max_dur", "mean_pool",
                                              "interpret"))
-def segmental_backward_pallas(cum, trans, bias, lengths, max_dur: int,
-                              mean_pool: bool = True,
+def segmental_backward_pallas(frame_scores_tm, trans, bias, lengths,
+                              max_dur: int, mean_pool: bool = True,
                               interpret: bool = False):
-    """Fused SCRF beta pass.  ``cum``: (T, B, L) inclusive cumulative frame
-    scores; ``bias``: (Dmax, L) combined segment bias.  Returns betas
-    (T, B, L) — allclose to ops.segmental_stream.seg_backward_stream."""
-    T, B, L = cum.shape
+    """Fused SCRF beta pass.  ``frame_scores_tm``: (T, B, L) per-frame
+    label scores (r5: cumulative scores are accumulated IN-KERNEL —
+    descending, as total minus a running suffix — instead of an XLA
+    log-depth cumsum); ``bias``: (Dmax, L) combined segment bias.
+    Returns betas (T, B, L) — allclose to
+    ops.segmental_stream.seg_backward_stream."""
+    T, B, L = frame_scores_tm.shape
     Dmax = max_dur
     Ls, Bk, bias, trans_p, lengths_p = _pad_seg_lb(
         L, B, trans, lengths, bias, None, Dmax)
@@ -325,7 +338,12 @@ def segmental_backward_pallas(cum, trans, bias, lengths, max_dur: int,
 
     TB = _tblk(Dmax)
     Tp = _round_up(T, TB)
-    cum = _cum_lb(cum, Ls, Bk, Tp)
+    fs = jnp.swapaxes(frame_scores_tm, 1, 2)
+    if (Ls, Bk) != (L, B):
+        fs = jnp.pad(fs, ((0, 0), (0, Ls - L), (0, Bk - B)))
+    if Tp != T:
+        fs = jnp.pad(fs, ((0, Tp - T), (0, 0), (0, 0)))
+    total = jnp.sum(fs, axis=0)                             # CS[T] (L, B)
     nb = Tp // TB
     [betas] = pl.pallas_call(
         functools.partial(_seg_bwd_kernel, TB, Dmax),
@@ -334,6 +352,8 @@ def segmental_backward_pallas(cum, trans, bias, lengths, max_dur: int,
             pl.BlockSpec((_SUBLANE, Bk), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, Ls, Bk), lambda i: (nb - 1 - i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Ls, Bk), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Ls, Ls), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -352,17 +372,18 @@ def segmental_backward_pallas(cum, trans, bias, lengths, max_dur: int,
         scratch_shapes=[
             pltpu.VMEM((Dmax, Ls, Bk), jnp.float32),
             pltpu.VMEM((Dmax, Ls, Bk), jnp.float32),
+            pltpu.VMEM((Ls, Bk), jnp.float32),
         ],
         interpret=interpret,
-    )(_len_lb(lengths_p, Bk), cum, M, tmaxr2, biasrot, invdrot)
+    )(_len_lb(lengths_p, Bk), fs, total, M, tmaxr2, biasrot, invdrot)
     return jnp.swapaxes(betas[:T], 1, 2)[:, :B, :L]
 
 
-def _seg_grad_kernel(TB, Dmax, Tlim, len_ref, g_ref, logz_ref, cum_ref,
+def _seg_grad_kernel(TB, Dmax, Tlim, len_ref, g_ref, logz_ref, fs_ref,
                      alpha_ref, beta_ref, PT_ref, tmax_ref, biasrot_ref,
                      invdrot_ref,
                      A_ref, S_ref, Sfin_ref, Ffin_ref, gdacc_ref, gt_ref,
-                     alpha_buf, cs_buf, q_buf, scale_buf):
+                     alpha_buf, cs_buf, q_buf, scale_buf, cumrun):
     # Ascending TB-frame blocks: xi[t, d] for all d in VMEM, accumulating
     # the gradient pieces (ops.segmental_stream._grad_scan, in-kernel),
     # on static circular slots (see _tblk; masks and rolls fall out of
@@ -395,6 +416,7 @@ def _seg_grad_kernel(TB, Dmax, Tlim, len_ref, g_ref, logz_ref, cum_ref,
         q_buf[Dmax - 1] = jnp.zeros((L, B), q_buf.dtype)  # u = -1: one
         cs_buf[:] = jnp.zeros_like(cs_buf)
         scale_buf[:] = jnp.full_like(scale_buf, NEG_INF)
+        cumrun[:] = jnp.zeros_like(cumrun)
         Sfin_ref[:] = jnp.zeros_like(Sfin_ref)
         Ffin_ref[:] = jnp.zeros_like(Ffin_ref)
         gdacc_ref[:] = jnp.zeros_like(gdacc_ref)
@@ -403,7 +425,8 @@ def _seg_grad_kernel(TB, Dmax, Tlim, len_ref, g_ref, logz_ref, cum_ref,
     for k in range(TB):
         t = i * TB + k
         r = k % Dmax
-        cum_now = cum_ref[k]                                # (L, B)
+        cum_now = cumrun[:] + fs_ref[k]                     # (L, B)
+        cumrun[:] = cum_now
         alpha_t = alpha_ref[k]
         beta_t = beta_ref[k]
         lenv = len_ref[0:1, :]                              # (1, B)
@@ -462,7 +485,8 @@ def _seg_grad_kernel(TB, Dmax, Tlim, len_ref, g_ref, logz_ref, cum_ref,
 
 @functools.partial(jax.jit, static_argnames=("max_dur", "mean_pool",
                                              "interpret"))
-def segmental_grad_pallas(cum, trans, bias, lengths, alphas, betas, logZ, g,
+def segmental_grad_pallas(frame_scores_tm, trans, bias, lengths, alphas,
+                          betas, logZ, g,
                           max_dur: int, mean_pool: bool = True,
                           interpret: bool = False):
     """Fused xi pass: raw gradient pieces for the streaming SCRF VJP.
@@ -476,14 +500,21 @@ def segmental_grad_pallas(cum, trans, bias, lengths, alphas, betas, logZ, g,
     frame T-j), and the last Dmax source frames' U^T V terms — whose
     slots never retire in-kernel — are contracted here from the returned
     F accumulators (same per-slot scale as in-kernel: m_u recomputed
-    from the padded transposed alphas, bit-identical)."""
-    T, B, L = cum.shape
+    from the padded transposed alphas, bit-identical).
+
+    ``frame_scores_tm``: (T, B, L) per-frame scores — cumulative scores
+    accumulate in-kernel (r5, see segmental_backward_pallas)."""
+    T, B, L = frame_scores_tm.shape
     Dmax = max_dur
     Ls, Bk, bias, trans_p, lengths_p = _pad_seg_lb(
         L, B, trans, lengths, bias, None, Dmax)
     TB = _tblk(Dmax)
     Tp = _round_up(T, TB)
-    cum = _cum_lb(cum, Ls, Bk, Tp)
+    fs = jnp.swapaxes(frame_scores_tm, 1, 2)
+    if (Ls, Bk) != (L, B):
+        fs = jnp.pad(fs, ((0, 0), (0, Ls - L), (0, Bk - B)))
+    if Tp != T:
+        fs = jnp.pad(fs, ((0, Tp - T), (0, 0), (0, 0)))
 
     def _lb(x):                               # (T,B,L) -> (Tp, Ls, Bk)
         x = jnp.swapaxes(x, 1, 2)
@@ -548,9 +579,10 @@ def segmental_grad_pallas(cum, trans, bias, lengths, alphas, betas, logZ, g,
             pltpu.VMEM((Dmax, Ls, Bk), jnp.float32),
             pltpu.VMEM((Dmax, Ls, Bk), jnp.float32),
             pltpu.VMEM((Dmax, _SUBLANE, Bk), jnp.float32),
+            pltpu.VMEM((Ls, Bk), jnp.float32),
         ],
         interpret=interpret,
-    )(_len_lb(lengths_p, Bk), g2d, logz2d, cum, alphas, betas, PT, tmax2,
+    )(_len_lb(lengths_p, Bk), g2d, logz2d, fs, alphas, betas, PT, tmax2,
       biasrot, invdrot)
 
     import numpy as np
@@ -581,9 +613,9 @@ def segmental_grad_pallas(cum, trans, bias, lengths, alphas, betas, logZ, g,
 # segmental max-plus decode (streaming Viterbi forward)
 # ---------------------------------------------------------------------------
 
-def _seg_vit_kernel(TB, Dmax, thr, len_ref, cum_ref, transS_ref,
+def _seg_vit_kernel(TB, Dmax, thr, len_ref, fs_ref, transS_ref,
                     biasrot_ref, invdrot_ref, deltas_ref, argd_ref, M_buf,
-                    cs_buf):
+                    cs_buf, cumrun):
     """Max-plus analogue of the forward kernel with the M-window
     restructure: the duration message ``max_p delta[t-1-d, p] + trans[p,l]``
     depends only on ``u = t-1-d``, so ONE (L, L, B) max-plus per frame
@@ -606,11 +638,13 @@ def _seg_vit_kernel(TB, Dmax, thr, len_ref, cum_ref, transS_ref,
         M_buf[:] = jnp.full_like(M_buf, NEG_INF)
         M_buf[Dmax - 1] = jnp.zeros((L, B), M_buf.dtype)  # u = -1: one
         cs_buf[:] = jnp.zeros_like(cs_buf)
+        cumrun[:] = jnp.zeros_like(cumrun)
 
     for k in range(TB):
         t = i * TB + k
         r = k % Dmax
-        cum_now = cum_ref[k]                                # (L, B)
+        cum_now = cumrun[:] + fs_ref[k]                     # (L, B)
+        cumrun[:] = cum_now
         invd = invdrot_ref[r][:, 0:1].reshape(Dmax, 1, 1)
         seg = (cum_now[None] - cs_buf[:]) * invd \
             + biasrot_ref[r].reshape(Dmax, L, 1)
@@ -657,7 +691,6 @@ def segmental_viterbi_pallas(frame_scores_tm, trans, dur_bias, seg_bias,
     Tp = _round_up(T, TB)
     if Tp != T:
         fs = jnp.pad(fs, ((0, Tp - T), (0, 0), (0, 0)))
-    cum = jnp.cumsum(fs, axis=0)
     invd = (1.0 / (jnp.arange(Dmax) + 1.0) if mean_pool
             else jnp.ones(Dmax))
     biasrot, invdrot = _rot_tables(bias, invd.astype(jnp.float32), Dmax)
@@ -692,9 +725,10 @@ def segmental_viterbi_pallas(frame_scores_tm, trans, dur_bias, seg_bias,
         scratch_shapes=[
             pltpu.VMEM((Dmax, Ls, Bk), jnp.float32),
             pltpu.VMEM((Dmax, Ls, Bk), jnp.float32),
+            pltpu.VMEM((Ls, Bk), jnp.float32),
         ],
         interpret=interpret,
-    )(_len_lb(lengths_p, Bk), cum, transS, biasrot, invdrot)
+    )(_len_lb(lengths_p, Bk), fs, transS, biasrot, invdrot)
 
     deltas = jnp.swapaxes(deltas[:T], 1, 2)[:, :B, :L]
     argd = jnp.swapaxes(argd[:T], 1, 2)[:, :B, :L]

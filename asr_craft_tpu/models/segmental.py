@@ -242,6 +242,72 @@ def gold_segment_score_stream_ns(frame, bias, trans, labels, length, cuts,
     return score + jnp.sum(jnp.where(boundary & (ts > 0) & valid, tr, 0.0))
 
 
+def gold_segment_score_batch(frame, bias, trans, labels, lengths,
+                             mean_pool: bool = True):
+    """Batched gold-segmentation scores with a SCATTER-FREE backward.
+
+    (B, T, L) frame scores + (B, T) labels -> (B,) scores, identical to
+    ``vmap(gold_segment_score_stream)`` (fp reassociation aside).  The
+    streamed form's backward is gather-adjoint scatters (``cs[t, lab]``,
+    ``bias[dix, lab]``, ``trans[prev, lab]``) — measured 1.7 ms at
+    B=128 T=512, the single largest piece of the r5 train step.  Here:
+
+    - pooling is ELEMENTWISE: frame u of a run of length n contributes
+      ``frame[u, lab_u] / n`` (mean pool), so d(frame) is a broadcast
+      weight times the label one-hot — no cumulative sums, no gathers;
+    - the bias and transition sums ride one-hot einsums (batched MXU
+      matmuls), whose adjoints are matmuls.
+
+    Runs longer than Dmax poison the score with NEG_INF (the gold
+    segmentation is inexpressible), matching the streamed form.
+    """
+    B, T, L = frame.shape
+    Dmax = bias.shape[0]
+    ts = jnp.arange(T)[None, :]
+    valid = ts < lengths[:, None]
+    prev = jnp.concatenate([labels[:, :1] - 1, labels[:, :-1]], axis=1)
+    boundary = (labels != prev) | (ts == 0)
+    run_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(boundary, ts, 0), axis=1)
+    nxt_new = jnp.concatenate([boundary[:, 1:],
+                               jnp.ones((B, 1), bool)], axis=1)
+    last = lengths[:, None] - 1
+    is_end = valid & (nxt_new | (ts == last)) & (ts <= last)
+    # end frame of the run containing u: min future is_end position
+    run_end = jnp.flip(jax.lax.associative_scan(
+        jnp.minimum, jnp.flip(jnp.where(is_end, ts, T - 1), 1),
+        axis=1), 1)
+    seg_len = (run_end - run_start + 1).astype(jnp.float32)
+    dur = run_end - run_start                   # = old dur at the end
+    # runs longer than Dmax: the streamed scorer REPLACES the segment
+    # score with NEG_INF, so no pool/bias gradient flows through it —
+    # mask those frames out of the pool and their ends out of the bias
+    # one-hot (the NEG_INF penalty below carries the poisoning)
+    ok_run = dur < Dmax
+    onehot = (labels[..., None] ==
+              jnp.arange(L)[None, None, :]).astype(frame.dtype)
+    w = jnp.where(valid & ok_run, 1.0 / seg_len if mean_pool
+                  else jnp.ones_like(seg_len), 0.0)
+    pool = jnp.sum(jnp.sum(frame * onehot, -1) * w, axis=1)     # (B,)
+
+    dix = jnp.clip(dur, 0, Dmax - 1)
+    d1 = ((dix[..., None] == jnp.arange(Dmax)[None, None, :])
+          & (is_end & ok_run)[..., None]).astype(frame.dtype)   # (B,T,Dmax)
+    pe = jnp.einsum("btd,btl->bdl", d1, onehot,
+                    preferred_element_type=jnp.float32)
+    score_bias = jnp.sum(pe * bias[None], axis=(1, 2))
+    # inexpressible gold (a run longer than Dmax): NEG_INF per bad seg
+    score_bias = score_bias + NEG_INF * jnp.sum(
+        jnp.where(is_end & (dur >= Dmax), 1.0, 0.0), axis=1)
+
+    p1 = ((prev[..., None] == jnp.arange(L)[None, None, :])
+          & (boundary & (ts > 0) & valid)[..., None]).astype(frame.dtype)
+    tm = jnp.einsum("btp,btl->bpl", p1, onehot,
+                    preferred_element_type=jnp.float32)
+    score_tr = jnp.sum(tm * trans[None], axis=(1, 2))
+    return pool + score_bias + score_tr
+
+
 def gold_segment_score_stream(frame, bias, trans, labels, length,
                               mean_pool: bool = True):
     """Gold-segmentation score from frame scores alone (no (T, Dmax, L)
@@ -298,9 +364,8 @@ def scrf_loss_fused(cfg: SegCrfConfig, params, feats, labels, lengths):
         logZ = seg_log_partition_stream(
             jnp.moveaxis(frame, 1, 0), bias, params["b_trans"], lengths,
             cfg.max_dur, mean_pool)
-        gold = jax.vmap(lambda f, l, n: gold_segment_score_stream(
-            f, bias, params["b_trans"], l, n, mean_pool))(frame, labels,
-                                                          lengths)
+        gold = gold_segment_score_batch(frame, bias, params["b_trans"],
+                                        labels, lengths, mean_pool)
     nll = jnp.where(lengths > 0, logZ - gold, 0.0)
     total = jnp.maximum(jnp.sum(lengths), 1)
     return jnp.sum(nll) / total, {"logZ": logZ, "gold": gold, "nll": nll}

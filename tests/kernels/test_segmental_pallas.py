@@ -77,8 +77,8 @@ def test_seg_backward_kernel_matches_scan(rng):
     lengths = jnp.asarray([10, 6, 1], jnp.int32)
     cum = jnp.cumsum(frame, axis=0)
     ref = seg_backward_stream(cum, bias, trans, lengths, _invd(Dmax, True))
-    out = segmental_backward_pallas(cum, trans, bias, lengths, max_dur=Dmax,
-                                    interpret=True)
+    out = segmental_backward_pallas(frame, trans, bias, lengths,
+                                    max_dur=Dmax, interpret=True)
     for b in range(B):
         n = int(lengths[b])
         np.testing.assert_allclose(np.asarray(out)[:n, b],
@@ -103,8 +103,9 @@ def test_seg_grad_kernel_matches_scan(rng):
     alphas, logZ = seg_forward_stream(cum, bias, trans, lengths, invd)
     betas = seg_backward_stream(cum, bias, trans, lengths, invd)
     ref = _grad_scan(cum, bias, trans, lengths, invd, alphas, betas, logZ, g)
-    out = segmental_grad_pallas(cum, trans, bias, lengths, alphas, betas,
-                                logZ, g, max_dur=Dmax, interpret=True)
+    out = segmental_grad_pallas(frame, trans, bias, lengths, alphas,
+                                betas, logZ, g, max_dur=Dmax,
+                                interpret=True)
     for r, o, name in zip(ref, out, ("A", "S_emit", "acc_fin", "gd", "gt")):
         np.testing.assert_allclose(np.asarray(o), np.asarray(r),
                                    rtol=1e-4, atol=1e-5, err_msg=name)

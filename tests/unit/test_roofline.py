@@ -55,3 +55,33 @@ def test_summarize_fields():
     assert s["pct_of_achievable_sol"] >= s["pct_of_sol"]
     assert set(s["phases"]) == {"featuremap", "viterbi_forward",
                                 "viterbi_traceback"}
+
+def test_scrf_tile_floor_structure():
+    """scrf_tile_floor (VERDICT r4 next #1): positive per-kernel floors,
+    train = fwd+bwd+grad, decode = vit+tb, VPU-elems consistent with the
+    phase model's inventories."""
+    tile = rl.scrf_tile_floor(128, 512, 48, 16, vpu_geps=1500.0)
+    k = tile["kernels_ms"]
+    for name in ("fwd", "bwd", "grad", "vit", "tb"):
+        assert k[name] > 0, name
+    assert math.isclose(tile["train_floor_ms"],
+                        k["fwd"] + k["bwd"] + k["grad"], abs_tol=2e-3)
+    assert math.isclose(tile["decode_floor_ms"], k["vit"] + k["tb"],
+                        abs_tol=2e-3)
+    # grad does the most window passes -> largest kernel floor
+    assert k["grad"] > k["fwd"] >= k["bwd"]
+
+
+def test_scrf_phases_scale_with_batch_lanes():
+    """Transposed layout: batch pads to full 128 lanes, so VPU elems are
+    equal at B=64 and B=128 (the r5 finding that B=64 wastes half the
+    lanes) and double at B=256."""
+    kern = ("scrf_forward", "scrf_backward", "scrf_grad")
+
+    def v(B):
+        return sum(p.vpu_elems for p in
+                   rl.scrf_train_phases(B, 512, 48, 144, 16)
+                   if p.name in kern)
+
+    assert v(64) == v(128)
+    assert math.isclose(v(256) / v(128), 2.0, rel_tol=1e-6)

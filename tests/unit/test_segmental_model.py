@@ -357,3 +357,49 @@ def test_pack_segment_markers_argsort_fallback_parity():
         ss._PACK_ONEHOT_MAX_ELEMS = old
     for r, a in zip(ref, alt):
         np.testing.assert_array_equal(np.asarray(r), np.asarray(a))
+
+def test_gold_segment_score_batch_matches_stream():
+    """The scatter-free batched gold scorer == vmapped streamed scorer,
+    value AND gradient (r5: the streamed form's backward was
+    scatter-bound, the largest piece of the train step)."""
+    from asr_craft_tpu.models.segmental import (gold_segment_score_batch,
+                                                gold_segment_score_stream)
+    rng = np.random.default_rng(5)
+    B, T, L, Dmax = 4, 24, 5, 6
+    frame = jnp.asarray(rng.normal(size=(B, T, L)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(Dmax, L)).astype(np.float32))
+    trans = jnp.asarray(rng.normal(size=(L, L)).astype(np.float32))
+    runs = np.repeat(rng.integers(0, L, size=(B, T // 3 + 1)), 3, axis=1)
+    labels = jnp.asarray(runs[:, :T].astype(np.int32))
+    lengths = jnp.asarray([T, T - 5, 3, 1], jnp.int32)
+
+    for mp in (True, False):
+        ref = jax.vmap(lambda f, l, n: gold_segment_score_stream(
+            f, bias, trans, l, n, mp))(frame, labels, lengths)
+        got = gold_segment_score_batch(frame, bias, trans, labels,
+                                       lengths, mp)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+        gr = jax.grad(lambda f: jnp.sum(jax.vmap(
+            lambda ff, l, n: gold_segment_score_stream(
+                ff, bias, trans, l, n, mp))(f, labels, lengths)))(frame)
+        gg = jax.grad(lambda f: jnp.sum(gold_segment_score_batch(
+            f, bias, trans, labels, lengths, mp)))(frame)
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(gr),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_gold_segment_score_batch_long_run_poisons():
+    """A gold run longer than Dmax must poison the score (NEG_INF-scale),
+    matching the streamed scorer's inexpressible-gold behavior."""
+    from asr_craft_tpu.models.segmental import gold_segment_score_batch
+    T, L, Dmax = 12, 3, 4
+    frame = jnp.zeros((1, T, L))
+    bias = jnp.zeros((Dmax, L))
+    trans = jnp.zeros((L, L))
+    labels = jnp.zeros((1, T), jnp.int32)      # one 12-frame run > Dmax=4
+    lengths = jnp.asarray([T], jnp.int32)
+    sc = float(gold_segment_score_batch(frame, bias, trans, labels,
+                                        lengths)[0])
+    assert sc < -1e29
