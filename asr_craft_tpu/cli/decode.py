@@ -84,6 +84,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--otf_dynamic", action="store_true",
                    help="fully dynamic lexicon/LM composition (no search "
                    "graph built; WSJ-scale lexicons + pruned backoff LMs)")
+    p.add_argument("--no_lm_lookahead", action="store_true",
+                   help="disable the LM lookahead pruning potentials in "
+                   "--otf_dynamic (lookahead is on by default: tight "
+                   "beams keep wide-beam accuracy; scores are unchanged "
+                   "either way)")
     p.add_argument("--otf", action="store_true",
                    help="on-the-fly FST-composed beam Viterbi (no lattice "
                    "materialization; reference CRF_ViterbiDecoder mode) — "
@@ -295,7 +300,8 @@ def _word_decode(args, cfg, params, loader, names, logger) -> int:
                         num_states=cfg.num_states,
                         beam_threshold=args.beam_threshold,
                         max_active=args.max_active,
-                        backend=args.fst_backend)
+                        backend=args.fst_backend,
+                        lookahead=not args.no_lm_lookahead)
                 elif otf_graph is not None:
                     from asr_craft_tpu.decode.otf import otf_decode_words
                     wseq, _, _ = otf_decode_words(

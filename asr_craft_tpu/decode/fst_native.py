@@ -70,7 +70,8 @@ def _load():
         I, I, dp, dp, I, I,
         I, I, I, ip, ip, ip, ip, fp, fp,
         I, I, I, ip, ip, ip, ip, fp, fp, D,
-        D, I, I, ip, ctypes.POINTER(I), ip, ctypes.POINTER(D)]
+        D, I, dp,
+        I, ip, ctypes.POINTER(I), ip, ctypes.POINTER(D)]
     _lib = lib
     return _lib
 
@@ -169,10 +170,13 @@ def otf_decode(log_phi_state, log_phi_trans, length, graph, words,
 
 def otf_decode_dynamic(log_phi_state, log_phi_trans, length, lex, words,
                        lm=None, lm_weight=1.0, num_states=1,
-                       beam_threshold=None, max_active=None
+                       beam_threshold=None, max_active=None,
+                       lookahead=None
                        ) -> Tuple[List[str], List[int], float]:
     """ctypes wrapper for craft_otf_decode_dynamic (fully dynamic
-    lexicon/LM composition — see decode.otf.otf_decode_words_dynamic)."""
+    lexicon/LM composition — see decode.otf.otf_decode_words_dynamic).
+    ``lookahead``: per-lexicon-state pruning potentials
+    (decode.otf.lm_lookahead_potentials) or None."""
     import ctypes
 
     lib = _load()
@@ -193,6 +197,13 @@ def otf_decode_dynamic(log_phi_state, log_phi_trans, length, lex, words,
                 _f32(lm.weight), _f32(lm.final))
                if lm is not None else
                (0, 0, 0, zero_i, zero_i, zero_i, zero_i, zero_f, zero_f))
+    if lookahead is None:
+        la = np.zeros(lex.num_states, np.float64)
+    else:
+        # inf potentials (word unreachable in the LM) must survive the
+        # C side's arithmetic: clamp to a huge finite value
+        la = np.ascontiguousarray(
+            np.minimum(np.asarray(lookahead, np.float64), 1e290))
     rc = lib.craft_otf_decode_dynamic(
         T, L, state, trans, fdep, num_states,
         lex.num_states, lex.start, lex.num_arcs, _i32(lex.src),
@@ -200,7 +211,7 @@ def otf_decode_dynamic(log_phi_state, log_phi_trans, length, lex, words,
         _f32(lex.weight), _f32(lex.final),
         *lm_args, float(lm_weight),
         -1.0 if beam_threshold is None else float(beam_threshold),
-        0 if max_active is None else int(max_active),
+        0 if max_active is None else int(max_active), la,
         max_words, out_words, ctypes.byref(nw), out_path,
         ctypes.byref(wgt))
     if rc == 2:

@@ -353,9 +353,13 @@ int32_t craft_otf_decode_dynamic(
     int32_t lm_ns, int32_t lm_start, int32_t lm_na, const int32_t* lm_src,
     const int32_t* lm_dst, const int32_t* lm_il, const int32_t* lm_ol,
     const float* lm_w, const float* lm_final, double lm_weight,
-    double beam_threshold, int32_t max_active,
+    double beam_threshold, int32_t max_active, const double* lex_la,
     int32_t max_words, int32_t* out_words, int32_t* out_nw,
     int32_t* out_path, double* out_weight) {
+  // lex_la: per-lexicon-state LM lookahead potentials (may be null) —
+  // added to the PRUNING key only (stored scores untouched), so the
+  // decoded path/weight are unchanged; tight beams keep the tokens a
+  // wide beam would (decode/otf.py lm_lookahead_potentials).
   const double kFinite = -1e29;
   struct Token { int32_t l, lex, lm; double sc; int32_t parent, word; };
 
@@ -470,21 +474,24 @@ int32_t craft_otf_decode_dynamic(
     }
   };
 
+  auto prune_key = [&](const Token& t) {
+    return lex_la ? t.sc + lex_la[t.lex] : t.sc;
+  };
   auto prune = [&](std::vector<Token>& cur) {
     if (cur.empty()) return;
     if (beam_threshold >= 0) {
-      double best = cur[0].sc;
-      for (const Token& t : cur) best = std::min(best, t.sc);
+      double best = prune_key(cur[0]);
+      for (const Token& t : cur) best = std::min(best, prune_key(t));
       std::vector<Token> kept;
       kept.reserve(cur.size());
       for (const Token& t : cur)
-        if (t.sc <= best + beam_threshold) kept.push_back(t);
+        if (prune_key(t) <= best + beam_threshold) kept.push_back(t);
       cur.swap(kept);
     }
     if (max_active > 0 && (int32_t)cur.size() > max_active) {
       std::nth_element(cur.begin(), cur.begin() + max_active - 1, cur.end(),
-                       [](const Token& a, const Token& b) {
-                         return a.sc < b.sc;
+                       [&](const Token& a, const Token& b) {
+                         return prune_key(a) < prune_key(b);
                        });
       cur.resize(max_active);
     }

@@ -335,13 +335,21 @@ def word_decode_scale_rows(fast):
               "--lm_weight", "0.7"]
     row = {"lexicon_words": W, "num_phones": 42, "test_utts": n_test,
            "lm_arcs": int(lm.num_arcs)}
-    # production beam (20, 512) chosen by the r4 sweep: WER 0.151 vs the
-    # wide-beam 0.123 at 4x the speed (10/64 was a 0.35-WER search-error
-    # cliff at 5k words — the (l, lex, lm) token space needs hundreds of
-    # live trie prefixes)
+    # production beam (20, 512) chosen by the r4 sweep; r5 adds LM
+    # lookahead (on by default): per-trie-state best-continuation
+    # potentials in the pruning key, charging a word's LM cost before
+    # its boundary — the r4 sweep's 23%-relative search-error penalty at
+    # the production point was exactly this missing (VERDICT r4 next #2).
+    # nola = the r4 behavior; tight = the lookahead-enabled fast point.
     variants = {
         "dyn_native": ["--fst_backend", "native", "--beam_threshold",
                        "20.0", "--max_active", "512"],
+        "dyn_native_nola": ["--fst_backend", "native", "--beam_threshold",
+                            "20.0", "--max_active", "512",
+                            "--no_lm_lookahead"],
+        "dyn_native_tight": ["--fst_backend", "native",
+                             "--beam_threshold", "12.0",
+                             "--max_active", "192"],
         "dyn_native_wide": ["--fst_backend", "native", "--beam_threshold",
                             "40.0", "--max_active", "1500"],
         "dyn_py": ["--fst_backend", "py", "--beam_threshold", "20.0",
