@@ -70,7 +70,7 @@ def _load():
         I, I, dp, dp, I, I,
         I, I, I, ip, ip, ip, ip, fp, fp,
         I, I, I, ip, ip, ip, ip, fp, fp, D,
-        D, I, dp,
+        D, I, dp, I,
         I, ip, ctypes.POINTER(I), ip, ctypes.POINTER(D)]
     _lib = lib
     return _lib
@@ -175,8 +175,9 @@ def otf_decode_dynamic(log_phi_state, log_phi_trans, length, lex, words,
                        ) -> Tuple[List[str], List[int], float]:
     """ctypes wrapper for craft_otf_decode_dynamic (fully dynamic
     lexicon/LM composition — see decode.otf.otf_decode_words_dynamic).
-    ``lookahead``: per-lexicon-state pruning potentials
-    (decode.otf.lm_lookahead_potentials) or None."""
+    ``lookahead``: True = exact per-history LM lookahead; an ndarray =
+    static per-lexicon-state potentials
+    (decode.otf.lm_lookahead_potentials); None/False = off."""
     import ctypes
 
     lib = _load()
@@ -197,13 +198,15 @@ def otf_decode_dynamic(log_phi_state, log_phi_trans, length, lex, words,
                 _f32(lm.weight), _f32(lm.final))
                if lm is not None else
                (0, 0, 0, zero_i, zero_i, zero_i, zero_i, zero_f, zero_f))
-    if lookahead is None:
-        la = np.zeros(lex.num_states, np.float64)
-    else:
+    la_exact = 0
+    if isinstance(lookahead, np.ndarray):
         # inf potentials (word unreachable in the LM) must survive the
         # C side's arithmetic: clamp to a huge finite value
         la = np.ascontiguousarray(
             np.minimum(np.asarray(lookahead, np.float64), 1e290))
+    else:
+        la = np.zeros(lex.num_states, np.float64)
+        la_exact = 1 if lookahead else 0
     rc = lib.craft_otf_decode_dynamic(
         T, L, state, trans, fdep, num_states,
         lex.num_states, lex.start, lex.num_arcs, _i32(lex.src),
@@ -211,7 +214,7 @@ def otf_decode_dynamic(log_phi_state, log_phi_trans, length, lex, words,
         _f32(lex.weight), _f32(lex.final),
         *lm_args, float(lm_weight),
         -1.0 if beam_threshold is None else float(beam_threshold),
-        0 if max_active is None else int(max_active), la,
+        0 if max_active is None else int(max_active), la, la_exact,
         max_words, out_words, ctypes.byref(nw), out_path,
         ctypes.byref(wgt))
     if rc == 2:

@@ -48,15 +48,18 @@ def build_search_graph(lexicon: Dict[str, List[int]], words: List[str],
 
 
 def _prune(tokens: dict, beam_threshold, max_active, phi=None):
-    """Beam pruning.  ``phi``: per-lexicon-state lookahead potentials
-    (:func:`lm_lookahead_potentials`) — when given, the PRUNING key is
-    ``score + phi[lex_state]`` (the token key's second element), charging
-    the upcoming word's LM cost before the word boundary; stored scores
-    (and therefore the decoded path and weight) are untouched."""
+    """Beam pruning.  ``phi``: lookahead — an array of per-lexicon-state
+    potentials (:func:`lm_lookahead_potentials`), or a callable
+    ``phi(token_key) -> float`` (the exact per-history lookahead).  When
+    given, the PRUNING key is ``score + phi`` — charging the upcoming
+    word's LM cost before the word boundary; stored scores (and
+    therefore the decoded path and weight) are untouched."""
     if not tokens:
         return tokens
     if phi is None:
         key = lambda kv: kv[1][0]
+    elif callable(phi):
+        key = lambda kv: kv[1][0] + phi(kv[0])
     else:
         key = lambda kv: kv[1][0] + phi[kv[0][1]]
     if beam_threshold is not None:
@@ -107,18 +110,7 @@ def lm_lookahead_potentials(lex: Fst, lm: Fst,
     root = lex.start
     phi = np.full(lex.num_states, np.inf)
     phi[root] = 0.0
-    order: List[int] = []
-    seen = {root}
-    stack = [root]
-    while stack:                      # DFS over the trie DAG (to root)
-        s = stack.pop()
-        order.append(s)
-        for j in out.get(s, ()):
-            d = int(lex.dst[j])
-            if d not in seen:
-                seen.add(d)
-                stack.append(d)
-    for s in reversed(order):         # children before parents
+    for s in reversed(_trie_order(lex)):  # children before parents
         if s == root:
             continue
         best = np.inf
@@ -132,6 +124,73 @@ def lm_lookahead_potentials(lex: Fst, lm: Fst,
             best = min(best, w + cont)
         phi[s] = best
     return phi
+
+
+def _trie_order(lex: Fst) -> List[int]:
+    """DFS preorder of the lexicon trie from the root (word arcs back to
+    the root are terminal) — reversed, it visits children before
+    parents."""
+    out: Dict[int, List[int]] = {}
+    for j in range(lex.num_arcs):
+        out.setdefault(int(lex.src[j]), []).append(j)
+    order: List[int] = []
+    seen = {lex.start}
+    stack = [lex.start]
+    while stack:
+        s = stack.pop()
+        order.append(s)
+        for j in out.get(s, ()):
+            d = int(lex.dst[j])
+            if d not in seen:
+                seen.add(d)
+                stack.append(d)
+    return order
+
+
+def _exact_lookahead(lex: Fst, lm_adv, lm_fin=None):
+    """Per-HISTORY lookahead tables, lazily built and memoized: for LM
+    history u, ``la(u)[s]`` = min over completions of the word pending at
+    trie state s of (remaining lexicon weights + the ACTUAL LM cost
+    ``advance(u, w)``).  Added to the pruning key, this makes the beam
+    rank tokens by their true best next-word-completed score (A*-style
+    f-value) — the full-lookahead upgrade of the context-independent
+    :func:`lm_lookahead_potentials` (which lower-bounds over ALL
+    histories and blurs deep in the trie).  One O(trie) sweep per NEW
+    history; the memo is bounded by the live histories of the beam."""
+    out: Dict[int, List[int]] = {}
+    for j in range(lex.num_arcs):
+        out.setdefault(int(lex.src[j]), []).append(j)
+    order = _trie_order(lex)
+    root = lex.start
+    memo: Dict[int, np.ndarray] = {}
+
+    def la_of(u: int) -> np.ndarray:
+        arr = memo.get(u)
+        if arr is not None:
+            return arr
+        arr = np.full(lex.num_states, np.inf)
+        arr[root] = 0.0
+        for s in reversed(order):
+            if s == root:
+                continue
+            best = np.inf
+            for j in out.get(s, ()):
+                d = int(lex.dst[j])
+                w = float(lex.weight[j])
+                ol = int(lex.olabel[j])
+                if ol:
+                    a = lm_adv(u, ol)
+                    if a is None:
+                        continue
+                    w += a[1]
+                elif d != root:
+                    w += arr[d]
+                best = min(best, w)
+            arr[s] = best
+        memo[u] = arr
+        return arr
+
+    return lambda key: la_of(key[2])[key[1]]
 
 
 def otf_decode_words(log_phi_state, log_phi_trans, length, graph: Fst,
@@ -293,13 +352,15 @@ def otf_decode_words_dynamic(log_phi_state, log_phi_trans, length,
     are None; the C++ twin is ``craft_otf_decode_dynamic``
     (native/fst.cpp), held to this implementation in tests/unit/test_otf.
 
-    ``lookahead`` (default on, r5): LM lookahead via per-trie-state
-    best-continuation potentials in the PRUNING key only
-    (:func:`lm_lookahead_potentials`) — path scores unchanged, search
-    error at tight beams sharply reduced.
+    ``lookahead`` (default on, r5): LM lookahead in the PRUNING key only
+    — path scores unchanged, search error at tight beams sharply
+    reduced.  ``True`` = EXACT per-history lookahead (lazy per-LM-state
+    tables; the pruning key becomes the true best next-word-completed
+    score); an ndarray = static per-trie-state potentials
+    (:func:`lm_lookahead_potentials`); ``False`` = off.
     """
-    phi = (lm_lookahead_potentials(lex, lm, lm_weight)
-           if (lookahead and lm is not None) else None)
+    static_phi = (np.asarray(lookahead, np.float64)
+                  if isinstance(lookahead, np.ndarray) else None)
     if backend != "py":
         from asr_craft_tpu.decode import fst_native
         if fst_native.available() and hasattr(fst_native,
@@ -307,7 +368,8 @@ def otf_decode_words_dynamic(log_phi_state, log_phi_trans, length,
             return fst_native.otf_decode_dynamic(
                 log_phi_state, log_phi_trans, length, lex, words, lm,
                 lm_weight, num_states, beam_threshold, max_active,
-                lookahead=phi)
+                lookahead=(static_phi if static_phi is not None
+                           else bool(lookahead and lm is not None)))
         if backend == "native":
             raise RuntimeError("native fst backend not built")
     state = np.asarray(log_phi_state, np.float64)[:int(length)]
@@ -323,6 +385,12 @@ def otf_decode_words_dynamic(log_phi_state, log_phi_trans, length,
         lm0 = lm.start
     else:
         lm_adv, lm_fin, lm0 = None, None, 0
+    if static_phi is not None:
+        phi = static_phi
+    elif lookahead and lm_adv is not None:
+        phi = _exact_lookahead(lex, lm_adv)
+    else:
+        phi = None
 
     def expand(store, l, lexs, lms, sc, parent):
         """Advance the lexicon (and LM on word emission) with phone_of(l)."""

@@ -138,16 +138,24 @@ def _up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _auto_tb(R: int, Bk: int, max_tb: int) -> int:
+def _auto_tb(R: int, Bk: int, max_tb: int, P8: int = 0,
+             bf16x3: bool = False) -> int:
     """Largest frames-per-block in {8, 4, 2, 1} whose (R, TB*Bk) plane
     buffer fits a ~24 MB budget (two live plane buffers + dplane must
     share the 100 MB scoped VMEM).  At the flagship P=48 (R=2736,
     Bk=128) this returns max_tb; at P=128 (R=17,536) it drops to 2 —
     lifting the r3 fast-path limit of P <= 64 (VERDICT r3 missing #5)
     without a separate kernel: the cross pages simply ride smaller time
-    blocks."""
+    blocks.
+
+    P8 > 64 additionally caps TB at 2 (1 for bf16x3, whose tripled-K
+    formation operands grow the program further): the Mosaic COMPILER
+    itself crashes (tpu_compile_helper exit 1) on the TB=4 x
+    16-cross-chunk unroll at P8=128 — a compile-time program-size limit
+    the VMEM budget alone does not see (found r5; the caps compile and
+    run at every P=128 shape tried, parity-checked on chip vs XLA)."""
     budget = 24 * 1024 * 1024
-    tb = max_tb
+    tb = max_tb if P8 <= 64 else min(max_tb, 1 if bf16x3 else 2)
     while tb > 1 and R * tb * Bk * 4 > budget:
         tb //= 2
     return tb
@@ -383,15 +391,20 @@ def _bwd_kernel(ns, P, P8, clamp_ns, boundaries, prec, TB, want_dfeats,
         wexp = lambda s: jnp.where(
             valid_n & live, jnp.exp(jnp.minimum(s - z2, 40.0)) * w2, 0.0)
         nslot = slice((k + 1) * Bk, (k + 2) * Bk)
-        d_self = wexp(alpha_t + _dup(nself) + x)
-        d_adv_lo = wexp(alpha_t[:LP - P8] + _dup(nadv[:LP - P8]) + x[P8:])
-        d_adv = jnp.concatenate(
-            [d_adv_lo, jnp.zeros((P8, 2 * Bk), jnp.float32)], axis=0)
         cross3b = ncross.reshape(P8, P8, Bk)   # single-lattice pages,
         # shared by both lane halves (no duplicated copy — r4)
         alpha_last = alpha_t[LP - P8:]
         halves = lambda d: d[..., 0:Bk] + d[..., Bk:]
         if ns > 1:
+            # self/adv xi (guarded: at ns == 1 these slices are EMPTY —
+            # alpha_t[:LP-P8] is (0, 2Bk) — and Mosaic rejects zero-size
+            # vectors even for unused values; r5 fix, the ns=1 fdt grad
+            # previously failed to compile on real TPU)
+            d_self = wexp(alpha_t + _dup(nself) + x)
+            d_adv_lo = wexp(alpha_t[:LP - P8] + _dup(nadv[:LP - P8])
+                            + x[P8:])
+            d_adv = jnp.concatenate(
+                [d_adv_lo, jnp.zeros((P8, 2 * Bk), jnp.float32)], axis=0)
             dplane[LP:2 * LP, nslot] = halves(d_self)
             dplane[2 * LP:3 * LP, nslot] = halves(d_adv)
         else:  # self/adv rows unused; keep their dplane slots zero
@@ -548,7 +561,8 @@ def fdt_forward_pallas(Wall, feats, labels, lengths, *, u0, u1, ns, P, P8,
     """
     B, T, _ = feats.shape
     Bk = _up(B, _BMULT)
-    TB = tb or _auto_tb(Wall.shape[0], Bk, _TB_FWD)
+    TB = tb or _auto_tb(Wall.shape[0], Bk, _TB_FWD, P8,
+                        precision == "bf16x3")
     xu, Du8, Tp = _prep_xu(feats, u0, u1, Bk, TB)
     lab = _prep_lab(labels, Bk, Tp)
     len2 = _prep_len(lengths, Bk)
@@ -611,7 +625,8 @@ def fdt_backward_grad_pallas(Wall, feats, labels, lengths, alphas, zf, zc,
     ``Wall^T @ dplane`` per block."""
     B, T, _ = feats.shape
     Bk = _up(B, _BMULT)
-    TB = tb or _auto_tb(Wall.shape[0], Bk, _TB_BWD)
+    TB = tb or _auto_tb(Wall.shape[0], Bk, _TB_BWD, P8,
+                        precision == "bf16x3")
     xu, Du8, Tp = _prep_xu(feats, u0, u1, Bk, TB)
     lab = _prep_lab(labels, Bk, Tp)
     len2 = _prep_len(lengths, Bk)
@@ -1026,7 +1041,8 @@ def fdt_viterbi_pallas(Wall, feats, lengths, *, u0, u1, ns, P, P8,
     """
     B, T, _ = feats.shape
     Bk = _up(B, _BMULT)
-    TB = _auto_tb(Wall.shape[0], Bk, _TB_FWD)
+    TB = _auto_tb(Wall.shape[0], Bk, _TB_FWD, P8,
+                  precision == "bf16x3")
     xu, Du8, Tp = _prep_xu(feats, u0, u1, Bk, TB)
     LP = ns * P8
     R = Wall.shape[0]

@@ -354,12 +354,19 @@ int32_t craft_otf_decode_dynamic(
     const int32_t* lm_dst, const int32_t* lm_il, const int32_t* lm_ol,
     const float* lm_w, const float* lm_final, double lm_weight,
     double beam_threshold, int32_t max_active, const double* lex_la,
+    int32_t la_exact,
     int32_t max_words, int32_t* out_words, int32_t* out_nw,
     int32_t* out_path, double* out_weight) {
-  // lex_la: per-lexicon-state LM lookahead potentials (may be null) —
-  // added to the PRUNING key only (stored scores untouched), so the
+  // LM lookahead — PRUNING key only (stored scores untouched, so the
   // decoded path/weight are unchanged; tight beams keep the tokens a
-  // wide beam would (decode/otf.py lm_lookahead_potentials).
+  // wide beam would).  Two modes:
+  //   lex_la:  static per-trie-state potentials (may be null) —
+  //            decode/otf.py lm_lookahead_potentials;
+  //   la_exact: EXACT per-history lookahead — lazy per-LM-state tables
+  //            la_u[s] = min over completions of the pending word of
+  //            (remaining lexicon weights + actual advance(u, w)); the
+  //            pruning key becomes the true best next-word-completed
+  //            score (decode/otf.py _exact_lookahead twin).
   const double kFinite = -1e29;
   struct Token { int32_t l, lex, lm; double sc; int32_t parent, word; };
 
@@ -474,7 +481,57 @@ int32_t craft_otf_decode_dynamic(
     }
   };
 
-  auto prune_key = [&](const Token& t) {
+  // exact per-history lookahead machinery (la_exact mode)
+  std::vector<int32_t> trie_order;
+  std::vector<std::vector<int32_t>> lex_out;
+  std::unordered_map<int32_t, std::vector<float>> la_memo;
+  const float kInfF = std::numeric_limits<float>::infinity();
+  const bool use_exact = la_exact && has_lm;
+  if (use_exact) {
+    lex_out.resize(lx_ns);
+    for (int32_t j = 0; j < lx_na; ++j) lex_out[lx_src[j]].push_back(j);
+    std::vector<char> seen(lx_ns, 0);
+    std::vector<int32_t> stack{lx_start};
+    seen[lx_start] = 1;
+    while (!stack.empty()) {          // DFS preorder; word arcs to the
+      int32_t s = stack.back();       // root are terminal (trie DAG)
+      stack.pop_back();
+      trie_order.push_back(s);
+      for (int32_t j : lex_out[s]) {
+        int32_t d = lx_dst[j];
+        if (!seen[d]) { seen[d] = 1; stack.push_back(d); }
+      }
+    }
+  }
+  auto la_table = [&](int32_t u) -> const std::vector<float>& {
+    auto it = la_memo.find(u);
+    if (it != la_memo.end()) return it->second;
+    std::vector<float> arr(lx_ns, kInfF);
+    arr[lx_start] = 0.f;
+    for (auto si = trie_order.rbegin(); si != trie_order.rend(); ++si) {
+      int32_t s = *si;                // children before parents
+      if (s == lx_start) continue;
+      double best = (double)kInfF;
+      for (int32_t j : lex_out[s]) {
+        int32_t d = lx_dst[j];
+        double w = lx_w[j];
+        int32_t ol = lx_ol[j];
+        if (ol) {
+          int32_t v; double aw;
+          if (!lm_advance(u, ol, &v, &aw)) continue;
+          w += aw;
+        } else if (d != lx_start) {
+          w += arr[d];
+        }
+        best = std::min(best, w);
+      }
+      arr[s] = (float)best;
+    }
+    if (la_memo.size() > 8192) la_memo.clear();   // bound memory
+    return la_memo.emplace(u, std::move(arr)).first->second;
+  };
+  auto prune_key = [&](const Token& t) -> double {
+    if (use_exact) return t.sc + la_table(t.lm)[t.lex];
     return lex_la ? t.sc + lex_la[t.lex] : t.sc;
   };
   auto prune = [&](std::vector<Token>& cur) {

@@ -373,6 +373,73 @@ def word_decode_scale_rows(fast):
     return row
 
 
+def senone_scale_row():
+    """Senone-scale label sets (VERDICT r4 next #7): the fdt kernel path
+    at its P=128 cap vs the XLA factored fallback at P=256 (ns=3,
+    L'=768), slope-timed fused train steps on the chip.  r5 also FIXED
+    the P=128 path: the ns=1 grad kernel emitted an empty (0, 2Bk)
+    slice, and the Mosaic compiler crashed on the TB=4 unroll at P8=128
+    (capped to 2, 1 for bf16x3 — kernels/fdt_pallas._auto_tb)."""
+    import time
+    import functools as ft
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from asr_craft_tpu.models.crf import CrfConfig, crf_loss
+
+    rng = np.random.default_rng(0)
+    row = {}
+    for name, P, prec in (("P128_kernel_bf16x3", 128, "bf16x3"),
+                          ("P256_xla_fallback", 256, "highest")):
+        cfg = CrfConfig(num_labels=P, feat_dim=144, num_states=3,
+                        trans_range=(0, 144), precision=prec)
+        params = cfg.init_params(scale=0.05)
+        B, T = 32, 512
+        feats = jnp.asarray(rng.normal(size=(B, T, 144)), jnp.float32)
+        runs = np.repeat(rng.integers(0, P, size=(B, T // 4)), 4, axis=1)
+        labels = jnp.asarray(runs[:, :T], jnp.int32)
+        lengths = jnp.full((B,), T, jnp.int32)
+
+        def step(p):
+            g = jax.grad(lambda q: crf_loss(cfg, q, feats, labels,
+                                            lengths)[0])(p)
+            return jax.tree.map(lambda a, b: a - 0.01 * b, p, g)
+
+        f_lo = jax.jit(lambda s: ft.reduce(lambda x, _: step(x),
+                                           range(2), s))
+        f_hi = jax.jit(lambda s: ft.reduce(lambda x, _: step(x),
+                                           range(6), s))
+
+        def sync(s):
+            float(np.asarray(jax.tree.leaves(s)[0]).ravel()[0])
+
+        s = f_lo(params)
+        sync(s)
+        s = f_hi(s)
+        sync(s)
+        tl = th = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            s = f_lo(s)
+            sync(s)
+            tl = min(tl, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            s = f_hi(s)
+            sync(s)
+            th = min(th, time.perf_counter() - t0)
+        ms = (th - tl) / 4 * 1e3
+        row[name] = {"P": P, "ns": 3, "B": B, "T": T,
+                     "train_ms_per_step": round(ms, 2),
+                     "audio_s_per_s": round(B * T * 0.01 / (ms / 1e3), 0)}
+    k, f = row["P128_kernel_bf16x3"], row["P256_xla_fallback"]
+    # the fallback does 4x the L'^2 DP work of P=128: efficiency-
+    # normalized ratio shows how far the fallback is from kernel speed
+    row["fallback_worknorm_pct_of_kernel"] = round(
+        100.0 * 4 * f["audio_s_per_s"] / k["audio_s_per_s"], 1)
+    return row
+
+
 def scaling_mechanics_row():
     """Weak-scaling harness mechanics on the 8-device forced CPU mesh
     (VERDICT r3 next #6): bench.py --scaling runs the DP-sharded flagship
@@ -513,6 +580,7 @@ def main(argv=None):
         "word_decode": lambda: word_decode_rows(args.fast),
         "word_decode_scale": lambda: word_decode_scale_rows(args.fast),
         "scaling_mechanics": scaling_mechanics_row,
+        "senone_scale": senone_scale_row,
     }
     for name, job in jobs.items():
         if only and name not in only:

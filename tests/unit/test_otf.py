@@ -261,18 +261,20 @@ def test_lm_lookahead_exactness_and_potentials(rng):
     np.testing.assert_allclose(wt_on, wt_off, rtol=1e-9)
 
     if fst_native.available():
-        for kw in (dict(beam_threshold=6.0, max_active=8),
-                   dict(max_active=4)):
-            w_py, p_py, wt_py = otf_decode_words_dynamic(
-                state, trans, len(state), lex, WORDS, lm=lm,
-                lm_weight=1.5, backend="py", lookahead=True, **kw)
-            w_nat, p_nat, wt_nat = fst_native.otf_decode_dynamic(
-                state, trans, len(state), lex, WORDS, lm=lm,
-                lm_weight=1.5,
-                lookahead=lm_lookahead_potentials(lex, lm, 1.5), **kw)
-            assert w_nat == w_py, kw
-            assert p_nat == p_py, kw
-            np.testing.assert_allclose(wt_nat, wt_py, rtol=1e-5)
+        # exact per-history mode (lookahead=True) AND static-potentials
+        # mode (ndarray): py == native under pruning in both
+        for la in (True, lm_lookahead_potentials(lex, lm, 1.5)):
+            for kw in (dict(beam_threshold=6.0, max_active=8),
+                       dict(max_active=4)):
+                w_py, p_py, wt_py = otf_decode_words_dynamic(
+                    state, trans, len(state), lex, WORDS, lm=lm,
+                    lm_weight=1.5, backend="py", lookahead=la, **kw)
+                w_nat, p_nat, wt_nat = fst_native.otf_decode_dynamic(
+                    state, trans, len(state), lex, WORDS, lm=lm,
+                    lm_weight=1.5, lookahead=la, **kw)
+                assert w_nat == w_py, kw
+                assert p_nat == p_py, kw
+                np.testing.assert_allclose(wt_nat, wt_py, rtol=1e-5)
 
 
 def test_lm_lookahead_rescues_tight_beam():
