@@ -107,6 +107,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", default=None,
                    help="force a jax platform (cpu/tpu)")
+    p.add_argument("--precision", choices=["highest", "bf16x3", "default"],
+                   default="highest")
     p.add_argument("--kernel_backend", choices=["auto", "pallas", "xla"],
                    default="auto",
                    help="DP kernel implementation: Pallas TPU kernels or "
@@ -146,7 +148,8 @@ def main(argv=None) -> int:
         num_labels=args.crf_label_size, feat_dim=feat_dim,
         num_states=args.crf_states, featuremap=args.crf_featuremap,
         state_range=state_rng,
-        trans_range=(args.crf_transftr_start, args.crf_transftr_end))
+        trans_range=(args.crf_transftr_start, args.crf_transftr_end),
+        precision=args.precision)
     params = {k: jnp.asarray(v) for k, v in weights_mod.load_raw(
         args.weight_file, cfg.fmap).items()}
 

@@ -68,6 +68,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--crf_transftr_end", type=int, default=0)
     p.add_argument("--crf_use_state_bias", type=int, default=1)
     p.add_argument("--crf_use_trans_bias", type=int, default=1)
+    p.add_argument("--precision", choices=["highest", "bf16x3", "default"],
+                   default="highest",
+                   help="DP-kernel matmul precision: highest = fp32 "
+                        "(parity bar), bf16x3 = 3-pass split-float "
+                        "(~2^-16 rel err), default = 1-pass bf16 (the "
+                        "speed mode -- validate PER before trusting)")
     p.add_argument("--label_kind", choices=["phone", "state"],
                    default="phone")
     p.add_argument("--init_weight_file", help="warm-start flat weight file")
@@ -152,7 +158,8 @@ def main(argv=None) -> int:
         state_range=state_rng,
         trans_range=(args.crf_transftr_start, args.crf_transftr_end),
         use_state_bias=bool(args.crf_use_state_bias),
-        use_trans_bias=bool(args.crf_use_trans_bias))
+        use_trans_bias=bool(args.crf_use_trans_bias),
+        precision=args.precision)
     params = None
     if args.init_weight_file:
         params = {k: jnp.asarray(v) for k, v in weights_mod.load_raw(

@@ -20,6 +20,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--utts", type=int, default=100)
+    p.add_argument("--eval_utts", type=int, default=0,
+                   help="held-out utterances for PER (decode_only and the "
+                        "final eval); 0 = score the training corpus (the "
+                        "r4 behavior).  VERDICT r4 next #6: the parity "
+                        "cells need >=5k eval tokens so a single fp32 "
+                        "near-tie flip is <1%% relative")
     p.add_argument("--labels", type=int, default=12)
     p.add_argument("--max_dur", type=int, default=16)
     p.add_argument("--seg_states", type=int, default=1,
@@ -67,7 +73,8 @@ def main(argv=None):
     scfg = data.SyntheticConfig(num_labels=L, feat_dim=L, noise=args.noise,
                                 min_len=20, max_len=64, mean_dur=4.0,
                                 min_dur=2, seed=0)
-    feats_l, labels_l, phones = data.generate_corpus(scfg, args.utts)
+    n_total = args.utts + args.eval_utts
+    feats_l, labels_l, phones = data.generate_corpus(scfg, n_total)
     T = 64
     B = len(feats_l)
     feats = np.zeros((B, T, L), np.float32)
@@ -81,14 +88,29 @@ def main(argv=None):
                        num_states=args.seg_states)
     params = cfg.init_params()
     feats, labels, lengths = map(jnp.asarray, (feats, labels, lengths))
+    # held-out eval slice (deterministic — same seeded corpus on every
+    # invocation, so same-weights cross-backend decodes see one set)
+    if args.eval_utts:
+        ev = slice(args.utts, n_total)
+    else:
+        ev = slice(0, args.utts)
+    feats_ev, labels_ev, lengths_ev = feats[ev], labels[ev], lengths[ev]
+    phones_ev = phones[ev]
+    feats, labels, lengths = (feats[:args.utts], labels[:args.utts],
+                              lengths[:args.utts])
+
+    def evaluate(params):
+        frames, _ = scrf_frame_labels(cfg, params, feats_ev, lengths_ev)
+        scorer = ErrorRateScorer()
+        score_batch(scorer, phones_ev, np.asarray(frames),
+                    np.asarray(lengths_ev))
+        logger.log("eval", per=scorer.error_rate,
+                   eval_utts=int(lengths_ev.shape[0]), **scorer.summary())
 
     if args.decode_only:
         params = weights_mod.load_npz(args.decode_only)
         params = {k: jnp.asarray(v) for k, v in params.items()}
-        frames, scores = scrf_frame_labels(cfg, params, feats, lengths)
-        scorer = ErrorRateScorer()
-        score_batch(scorer, phones, np.asarray(frames), np.asarray(lengths))
-        logger.log("eval", per=scorer.error_rate, **scorer.summary())
+        evaluate(params)
         return 0
 
     import optax
@@ -109,10 +131,7 @@ def main(argv=None):
         if epoch % 25 == 0 or epoch == args.epochs - 1:
             logger.log("train_epoch", epoch=epoch, loss=float(loss))
 
-    frames, scores = scrf_frame_labels(cfg, params, feats, lengths)
-    scorer = ErrorRateScorer()
-    score_batch(scorer, phones, np.asarray(frames), np.asarray(lengths))
-    logger.log("eval", per=scorer.error_rate, **scorer.summary())
+    evaluate(params)
     weights_mod.save_npz(os.path.join(args.out_dir, "scrf_weights.npz"),
                          params)
     return 0

