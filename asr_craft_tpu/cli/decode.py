@@ -83,7 +83,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write per-utterance lattices as FST text files")
     p.add_argument("--otf_dynamic", action="store_true",
                    help="fully dynamic lexicon/LM composition (no search "
-                   "graph built; WSJ-scale lexicons + pruned backoff LMs)")
+                   "graph built; WSJ-scale lexicons + pruned backoff "
+                   "LMs).  Production operating point at 5k words "
+                   "(runs/baseline_table.json word_decode_scale): "
+                   "--beam_threshold 20 --max_active 512 with the "
+                   "default LM lookahead")
     p.add_argument("--no_lm_lookahead", action="store_true",
                    help="disable the LM lookahead pruning potentials in "
                    "--otf_dynamic (lookahead is on by default: tight "
@@ -248,6 +252,13 @@ def _word_decode(args, cfg, params, loader, names, logger) -> int:
                              "offline lattice path for n-best")
     if args.otf_dynamic:
         lex_fst = F.lexicon_fst(lexicon, words)
+    lookahead_arg = not args.no_lm_lookahead
+    if (args.otf_dynamic and lm is not None and lookahead_arg
+            and args.fst_backend == "py"):
+        # python backend: ONE lookahead object for the whole corpus so
+        # per-history tables are paid once, not once per utterance
+        from asr_craft_tpu.decode.otf import make_exact_lookahead
+        lookahead_arg = make_exact_lookahead(lex_fst, lm, args.lm_weight)
     elif args.otf:
         from asr_craft_tpu.decode.otf import build_search_graph
         otf_graph = build_search_graph(lexicon, words, lm=lm,
@@ -304,7 +315,7 @@ def _word_decode(args, cfg, params, loader, names, logger) -> int:
                         beam_threshold=args.beam_threshold,
                         max_active=args.max_active,
                         backend=args.fst_backend,
-                        lookahead=not args.no_lm_lookahead)
+                        lookahead=lookahead_arg)
                 elif otf_graph is not None:
                     from asr_craft_tpu.decode.otf import otf_decode_words
                     wseq, _, _ = otf_decode_words(
