@@ -170,40 +170,39 @@ def _exact_lookahead(lex: Fst, lm_adv, lm_fin=None):
     :func:`lm_lookahead_potentials` (which lower-bounds over ALL
     histories and blurs deep in the trie).  One O(trie) sweep per NEW
     history; the memo is bounded by the live histories of the beam."""
-    out: Dict[int, List[int]] = {}
+    out: Dict[int, List[Tuple[int, float, int]]] = {}
     for j in range(lex.num_arcs):
-        out.setdefault(int(lex.src[j]), []).append(j)
-    order = _trie_order(lex)
+        out.setdefault(int(lex.src[j]), []).append(
+            (int(lex.dst[j]), float(lex.weight[j]), int(lex.olabel[j])))
     root = lex.start
-    memo: Dict[int, np.ndarray] = {}
+    memo: Dict[Tuple[int, int], float] = {}
 
-    def la_of(u: int) -> np.ndarray:
-        arr = memo.get(u)
-        if arr is not None:
-            return arr
-        arr = np.full(lex.num_states, np.inf)
-        arr[root] = 0.0
-        for s in reversed(order):
-            if s == root:
-                continue
-            best = np.inf
-            for j in out.get(s, ()):
-                d = int(lex.dst[j])
-                w = float(lex.weight[j])
-                ol = int(lex.olabel[j])
-                if ol:
-                    a = lm_adv(u, ol)
-                    if a is None:
-                        continue
-                    w += a[1]
-                elif d != root:
-                    w += arr[d]
-                best = min(best, w)
-            arr[s] = best
-        memo[u] = arr
-        return arr
+    def la_of(u: int, s: int) -> float:
+        # lazy per-(history, trie-state) resolution: only the subtrees
+        # the live beam touches are computed (a full per-history table
+        # over a 5k-word trie is ~25k ops x hundreds of histories per
+        # utterance; the beam touches a tiny fraction).  Recursion
+        # depth = max pronunciation length.
+        if s == root:
+            return 0.0
+        v = memo.get((u, s))
+        if v is not None:
+            return v
+        best = np.inf
+        for d, w, ol in out.get(s, ()):
+            if ol:
+                a = lm_adv(u, ol)
+                if a is None:
+                    continue
+                w = w + a[1]
+            elif d != root:
+                w = w + la_of(u, d)
+            if w < best:
+                best = w
+        memo[(u, s)] = best
+        return best
 
-    return lambda key: la_of(key[2])[key[1]]
+    return lambda key: la_of(key[2], key[1])
 
 
 def otf_decode_words(log_phi_state, log_phi_trans, length, graph: Fst,

@@ -16,6 +16,7 @@
 #include <cstring>
 #include <cmath>
 #include <deque>
+#include <functional>
 #include <limits>
 #include <unordered_map>
 #include <vector>
@@ -481,57 +482,46 @@ int32_t craft_otf_decode_dynamic(
     }
   };
 
-  // exact per-history lookahead machinery (la_exact mode)
-  std::vector<int32_t> trie_order;
+  // exact per-history lookahead machinery (la_exact mode): LAZY per
+  // (history, trie-state) memo — only the subtrees the live beam
+  // actually touches are resolved (a full per-history table over a
+  // 5k-word trie measured ~4 s/utterance of rebuild; the beam touches
+  // a tiny fraction of (u, s) pairs).  Recursion depth = max
+  // pronunciation length.
   std::vector<std::vector<int32_t>> lex_out;
-  std::unordered_map<int32_t, std::vector<float>> la_memo;
+  std::unordered_map<int64_t, float> la_pair;
   const float kInfF = std::numeric_limits<float>::infinity();
   const bool use_exact = la_exact && has_lm;
   if (use_exact) {
     lex_out.resize(lx_ns);
     for (int32_t j = 0; j < lx_na; ++j) lex_out[lx_src[j]].push_back(j);
-    std::vector<char> seen(lx_ns, 0);
-    std::vector<int32_t> stack{lx_start};
-    seen[lx_start] = 1;
-    while (!stack.empty()) {          // DFS preorder; word arcs to the
-      int32_t s = stack.back();       // root are terminal (trie DAG)
-      stack.pop_back();
-      trie_order.push_back(s);
-      for (int32_t j : lex_out[s]) {
-        int32_t d = lx_dst[j];
-        if (!seen[d]) { seen[d] = 1; stack.push_back(d); }
-      }
-    }
+    la_pair.reserve(1 << 16);
   }
-  auto la_table = [&](int32_t u) -> const std::vector<float>& {
-    auto it = la_memo.find(u);
-    if (it != la_memo.end()) return it->second;
-    std::vector<float> arr(lx_ns, kInfF);
-    arr[lx_start] = 0.f;
-    for (auto si = trie_order.rbegin(); si != trie_order.rend(); ++si) {
-      int32_t s = *si;                // children before parents
-      if (s == lx_start) continue;
-      double best = (double)kInfF;
-      for (int32_t j : lex_out[s]) {
-        int32_t d = lx_dst[j];
-        double w = lx_w[j];
-        int32_t ol = lx_ol[j];
-        if (ol) {
-          int32_t v; double aw;
-          if (!lm_advance(u, ol, &v, &aw)) continue;
-          w += aw;
-        } else if (d != lx_start) {
-          w += arr[d];
-        }
-        best = std::min(best, w);
+  std::function<float(int32_t, int32_t)> la_of =
+      [&](int32_t u, int32_t s) -> float {
+    if (s == lx_start) return 0.f;
+    int64_t key = (int64_t)u << 32 | (uint32_t)s;
+    auto it = la_pair.find(key);
+    if (it != la_pair.end()) return it->second;
+    double best = (double)kInfF;
+    for (int32_t j : lex_out[s]) {
+      int32_t d = lx_dst[j];
+      double w = lx_w[j];
+      int32_t ol = lx_ol[j];
+      if (ol) {
+        int32_t v; double aw;
+        if (!lm_advance(u, ol, &v, &aw)) continue;
+        w += aw;
+      } else if (d != lx_start) {
+        w += la_of(u, d);
       }
-      arr[s] = (float)best;
+      best = std::min(best, w);
     }
-    if (la_memo.size() > 8192) la_memo.clear();   // bound memory
-    return la_memo.emplace(u, std::move(arr)).first->second;
+    la_pair.emplace(key, (float)best);
+    return (float)best;
   };
   auto prune_key = [&](const Token& t) -> double {
-    if (use_exact) return t.sc + la_table(t.lm)[t.lex];
+    if (use_exact) return t.sc + la_of(t.lm, t.lex);
     return lex_la ? t.sc + lex_la[t.lex] : t.sc;
   };
   auto prune = [&](std::vector<Token>& cur) {
