@@ -56,20 +56,44 @@ def _prune(tokens: dict, beam_threshold, max_active, phi=None):
     therefore the decoded path and weight) are untouched."""
     if not tokens:
         return tokens
-    if phi is None:
-        key = lambda kv: kv[1][0]
-    elif callable(phi):
-        key = lambda kv: kv[1][0] + phi(kv[0])
+    items = list(tokens.items())
+    floor = getattr(phi, "la_floor", None) if callable(phi) else None
+    if (floor is not None and beam_threshold is not None
+            and len(items) > 8):
+        # lazy two-pass: phi >= floor, so key >= sc + floor.  Seed the
+        # bound with the key of the min-sc token (k0 >= the true best
+        # key), then skip phi entirely for tokens provably outside the
+        # beam on raw score — exact, and phi (an RMQ + memo) is only
+        # evaluated near the beam.
+        k0_kv = min(items, key=lambda kv: kv[1][0])
+        k0 = k0_kv[1][0] + phi(k0_kv[0])
+        lim = k0 + beam_threshold
+        best = k0
+        pairs = []
+        for kv in items:
+            sc = kv[1][0]
+            if sc + floor > lim:
+                continue               # key >= sc+floor > best+threshold
+            ky = sc + phi(kv[0])
+            if ky < best:
+                best = ky
+            pairs.append((ky, kv))
+        cut = best + beam_threshold
+        pairs = [(ky, kv) for ky, kv in pairs if ky <= cut]
     else:
-        key = lambda kv: kv[1][0] + phi[kv[0][1]]
-    if beam_threshold is not None:
-        best = min(key(kv) for kv in tokens.items())
-        tokens = {k: e for k, e in tokens.items()
-                  if key((k, e)) <= best + beam_threshold}
-    if max_active is not None and len(tokens) > max_active:
-        kept = heapq.nsmallest(max_active, tokens.items(), key=key)
-        tokens = dict(kept)
-    return tokens
+        if phi is None:                 # keys computed ONCE per token
+            keys = [e[0] for _, e in items]
+        elif callable(phi):
+            keys = [e[0] + phi(k) for k, e in items]
+        else:
+            keys = [e[0] + phi[k[1]] for k, e in items]
+        pairs = list(zip(keys, items))
+        if beam_threshold is not None:
+            cut = min(keys) + beam_threshold
+            pairs = [(ky, kv) for ky, kv in pairs if ky <= cut]
+    if max_active is not None and len(pairs) > max_active:
+        pairs = heapq.nsmallest(max_active, pairs, key=lambda p: p[0])
+    return dict(kv for _, kv in pairs)
 
 
 def lm_lookahead_potentials(lex: Fst, lm: Fst,
@@ -149,27 +173,165 @@ def _trie_order(lex: Fst) -> List[int]:
 
 def make_exact_lookahead(lex: Fst, lm: Fst, lm_weight: float = 1.0):
     """Reusable exact-lookahead callable for the python decoder: carries
-    its per-history memo ACROSS calls, so a CLI decoding many utterances
-    pays each LM history's O(trie) table once per corpus instead of once
-    per utterance (the per-call default rebuilt the memo — ~40x slower
-    over a 50-utterance test set at 5k words).  Pass the result as
-    ``lookahead=`` to :func:`otf_decode_words_dynamic` with
-    ``backend='py'`` (the native backend builds its own tables in C++,
-    where the rebuild is cheap)."""
-    lm_adv, _ = _lm_closed(lm, lm_weight)
-    return _exact_lookahead(lex, lm_adv)
+    its tables and memo ACROSS calls, so a CLI decoding many utterances
+    builds the interval/RMQ structure once per corpus.  Pass the result
+    as ``lookahead=`` to :func:`otf_decode_words_dynamic` with
+    ``backend='py'`` (the native backend builds its own tables in
+    C++)."""
+    return _exact_lookahead(lex, lm, lm_weight)
 
 
-def _exact_lookahead(lex: Fst, lm_adv, lm_fin=None):
-    """Per-HISTORY lookahead tables, lazily built and memoized: for LM
-    history u, ``la(u)[s]`` = min over completions of the word pending at
-    trie state s of (remaining lexicon weights + the ACTUAL LM cost
+def _exact_lookahead(lex: Fst, lm: Fst, lm_weight: float = 1.0):
+    """EXACT per-history LM lookahead as interval range-min queries —
+    ``la(u, s)`` = min over completions of the word pending at trie
+    state s of (remaining lexicon weights + the ACTUAL LM cost
     ``advance(u, w)``).  Added to the pruning key, this makes the beam
     rank tokens by their true best next-word-completed score (A*-style
     f-value) — the full-lookahead upgrade of the context-independent
     :func:`lm_lookahead_potentials` (which lower-bounds over ALL
-    histories and blurs deep in the trie).  One O(trie) sweep per NEW
-    history; the memo is bounded by the live histories of the beam."""
+    histories and blurs deep in the trie).
+
+    Design (r5, replacing the lazy per-(u, s) recursion whose cache
+    miss on a root-adjacent state walked the WHOLE subtree per history
+    — measured 0.24 utts/s vs 4.5 without lookahead at 5k words):
+
+    - A DFS over the lexicon's NON-emitting arcs orders the
+      word-emitting ("leaf") arcs so every trie state's reachable words
+      form one contiguous leaf interval ``[lo[s], hi[s])`` (the trie is
+      a tree — :func:`asr_craft_tpu.decode.fst.lexicon_fst`).
+    - Per LM state v, the explicit word arcs — expanded per
+      pronunciation leaf, sorted by leaf index, with value = lexicon
+      root->leaf path cost + lm_weight * arc weight — carry a
+      sparse-table RMQ (levels[k][i] = min over val[i : i + 2^k]).
+    - ``la(u, s) = min over (v, cw) in eps-closure(u) of
+      (lm_weight * cw + rangemin_v(lo[s], hi[s])) - pref[s]``:
+      min commutes over the closure paths, so this equals the old
+      recursion exactly, at O(|closure| * log) per query with NO
+      per-history precompute at all.
+
+    Falls back to the recursive form when the non-emitting arcs are not
+    a tree (shared suffixes / cycles — never produced by
+    ``lexicon_fst``)."""
+    from asr_craft_tpu.decode.fst import eps_closure
+    root = lex.start
+    tree: Dict[int, List[Tuple[int, float]]] = {}
+    emit: Dict[int, List[Tuple[int, float]]] = {}
+    for j in range(lex.num_arcs):
+        s, d = int(lex.src[j]), int(lex.dst[j])
+        w, ol = float(lex.weight[j]), int(lex.olabel[j])
+        if ol:
+            emit.setdefault(s, []).append((ol, w))
+        else:
+            tree.setdefault(s, []).append((d, w))
+
+    pref = np.zeros(lex.num_states)
+    lo = np.zeros(lex.num_states, np.int64)
+    hi = np.zeros(lex.num_states, np.int64)
+    leaf_word: List[int] = []
+    leaf_cost: List[float] = []
+    seen = {root}
+
+    def enter(s: int) -> None:
+        lo[s] = len(leaf_word)
+        for ol, w in emit.get(s, ()):
+            leaf_word.append(ol)
+            leaf_cost.append(pref[s] + w)
+
+    enter(root)
+    stack = [(root, iter(tree.get(root, ())))]
+    while stack:
+        s, it = stack[-1]
+        nxt = next(it, None)
+        if nxt is None:
+            hi[s] = len(leaf_word)
+            stack.pop()
+            continue
+        d, w = nxt
+        if d in seen:                      # not a trie — fall back
+            lm_adv, _ = _lm_closed(lm, lm_weight)
+            return _exact_lookahead_lazy(lex, lm_adv)
+        seen.add(d)
+        pref[d] = pref[s] + w
+        enter(d)
+        stack.append((d, iter(tree.get(d, ()))))
+
+    wleaf: Dict[int, List[int]] = {}
+    for i, wd in enumerate(leaf_word):
+        wleaf.setdefault(wd, []).append(i)
+    leafc = np.asarray(leaf_cost)
+
+    clos = eps_closure(lm)
+    by_src: Dict[int, List[Tuple[int, float]]] = {}
+    for j in range(lm.num_arcs):
+        il = int(lm.ilabel[j])
+        if il:
+            by_src.setdefault(int(lm.src[j]),
+                              []).append((il, float(lm.weight[j])))
+    tables: Dict[int, Tuple[np.ndarray, List[np.ndarray]]] = {}
+
+    def table_of(v: int):
+        tb = tables.get(v)
+        if tb is None:
+            ent: List[Tuple[int, float]] = []
+            for il, aw in by_src.get(v, ()):
+                for e in wleaf.get(il, ()):
+                    ent.append((e, float(leafc[e]) + lm_weight * aw))
+            ent.sort()
+            pos = np.array([e for e, _ in ent], np.int64)
+            levels = [np.array([c for _, c in ent])]
+            half = 1
+            while 2 * half <= len(pos):
+                p = levels[-1]
+                levels.append(np.minimum(p[:-half], p[half:]))
+                half *= 2
+            tb = (pos, levels)
+            tables[v] = tb
+        return tb
+
+    memo: Dict[Tuple[int, int], float] = {}
+
+    def la_of(u: int, s: int) -> float:
+        if s == root:
+            return 0.0
+        v = memo.get((u, s))
+        if v is None:
+            l, h = int(lo[s]), int(hi[s])
+            best = np.inf
+            for u2, w2 in clos[u]:
+                pos, levels = table_of(int(u2))
+                a = int(np.searchsorted(pos, l, "left"))
+                b = int(np.searchsorted(pos, h, "left"))
+                if b <= a:
+                    continue
+                k = (b - a).bit_length() - 1
+                m = min(float(levels[k][a]), float(levels[k][b - (1 << k)]))
+                c = lm_weight * float(w2) + m
+                if c < best:
+                    best = c
+            v = best - float(pref[s])
+            memo[(u, s)] = v
+        return v
+
+    fn = lambda key: la_of(key[2], key[1])
+    # global lower bound on la (la_floor): lets _prune skip the RMQ for
+    # tokens provably outside the beam on raw score (key >= sc + floor)
+    if lm_weight >= 0:
+        min_aw = min((aw for arcs in by_src.values() for _, aw in arcs),
+                     default=0.0)
+        min_cw = min((float(w2) for cl in clos.values() for _, w2 in cl),
+                     default=0.0)
+        min_leafc = float(leafc.min()) if len(leafc) else 0.0
+        max_pref = float(pref.max()) if lex.num_states else 0.0
+        fn.la_floor = min(0.0, lm_weight * (min_aw + min_cw)
+                          + min_leafc - max_pref)
+    return fn
+
+
+def _exact_lookahead_lazy(lex: Fst, lm_adv):
+    """Recursive fallback for non-trie lexicons (shared-suffix DAGs):
+    per-(history, trie-state) memoized min over completions — correct
+    everywhere, but a cache miss near the root walks the whole subtree
+    per history."""
     out: Dict[int, List[Tuple[int, float, int]]] = {}
     for j in range(lex.num_arcs):
         out.setdefault(int(lex.src[j]), []).append(
@@ -178,11 +340,6 @@ def _exact_lookahead(lex: Fst, lm_adv, lm_fin=None):
     memo: Dict[Tuple[int, int], float] = {}
 
     def la_of(u: int, s: int) -> float:
-        # lazy per-(history, trie-state) resolution: only the subtrees
-        # the live beam touches are computed (a full per-history table
-        # over a 5k-word trie is ~25k ops x hundreds of histories per
-        # utterance; the beam touches a tiny fraction).  Recursion
-        # depth = max pronunciation length.
         if s == root:
             return 0.0
         v = memo.get((u, s))
@@ -401,8 +558,8 @@ def otf_decode_words_dynamic(log_phi_state, log_phi_trans, length,
         phi = static_phi
     elif callable(lookahead):
         phi = lookahead                 # make_exact_lookahead (memo shared)
-    elif lookahead and lm_adv is not None:
-        phi = _exact_lookahead(lex, lm_adv)
+    elif lookahead and lm is not None:
+        phi = _exact_lookahead(lex, lm, lm_weight)
     else:
         phi = None
 

@@ -371,11 +371,23 @@ int32_t craft_otf_decode_dynamic(
   const double kFinite = -1e29;
   struct Token { int32_t l, lex, lm; double sc; int32_t parent, word; };
 
-  // lexicon arc index by (state, phone ilabel)
-  std::unordered_map<int64_t, std::vector<int32_t>> li;
-  li.reserve(lx_na * 2);
+  // lexicon arc index by (state, phone ilabel) — CSR over the dense
+  // (state, phone) grid (a hash find per expand call measured hot)
+  int32_t max_il = 0;
+  for (int32_t j = 0; j < lx_na; ++j) max_il = std::max(max_il, lx_il[j]);
+  const int64_t li_cols = (int64_t)max_il + 1;
+  std::vector<int32_t> li_off((size_t)lx_ns * li_cols + 1, 0);
+  std::vector<int32_t> li_arc(lx_na);
   for (int32_t j = 0; j < lx_na; ++j)
-    li[(int64_t)lx_src[j] << 32 | (uint32_t)lx_il[j]].push_back(j);
+    ++li_off[(size_t)lx_src[j] * li_cols + lx_il[j] + 1];
+  for (size_t i = 1; i < li_off.size(); ++i) li_off[i] += li_off[i - 1];
+  {
+    std::vector<int32_t> fill((size_t)lx_ns * li_cols, 0);
+    for (int32_t j = 0; j < lx_na; ++j) {
+      size_t r = (size_t)lx_src[j] * li_cols + lx_il[j];
+      li_arc[li_off[r] + fill[r]++] = j;
+    }
+  }
 
   // LM: word-arc index, epsilon adjacency, per-state epsilon closure and
   // closed finals; (state, word) advance memo
@@ -446,7 +458,46 @@ int32_t craft_otf_decode_dynamic(
 
   const int64_t lm_mod = has_lm ? lm_ns : 1;
   std::vector<std::vector<Token>> frames(T);
-  std::unordered_map<int64_t, int32_t> slot;
+  // epoch-stamped flat recombination table: per-frame clear is a bump
+  // of `slot_epoch`, lookups are linear probing on a power-of-2 array
+  // (an unordered_map find+emplace per arc relaxation measured hot)
+  struct SlotTab {
+    std::vector<int64_t> keys;
+    std::vector<int32_t> vals, epochs;
+    size_t mask = 0; int32_t epoch = 0; size_t count = 0;
+    void reset(size_t cap) {
+      keys.assign(cap, 0); vals.assign(cap, 0); epochs.assign(cap, -1);
+      mask = cap - 1; epoch = 0; count = 0;
+    }
+    void clear() { ++epoch; count = 0; }
+    // returns slot index for key; *fresh = true when newly claimed
+    size_t probe(int64_t k, bool* fresh) {
+      if ((count + 1) * 2 >= keys.size()) grow();
+      size_t i = (size_t)((uint64_t)k * 0x9E3779B97F4A7C15ull >> 17)
+                 & mask;
+      while (epochs[i] == epoch && keys[i] != k) i = (i + 1) & mask;
+      *fresh = epochs[i] != epoch;
+      if (*fresh) { epochs[i] = epoch; keys[i] = k; ++count; }
+      return i;
+    }
+    void grow() {
+      std::vector<int64_t> ok; std::vector<int32_t> ov, oe;
+      ok.swap(keys); ov.swap(vals); oe.swap(epochs);
+      keys.assign(ok.size() * 2, 0); vals.assign(ok.size() * 2, 0);
+      epochs.assign(ok.size() * 2, -1);
+      mask = keys.size() - 1;
+      size_t n = count; count = 0;
+      (void)n;
+      for (size_t i = 0; i < ok.size(); ++i)
+        if (oe[i] == epoch) {
+          bool fresh;
+          size_t ni = probe(ok[i], &fresh);
+          vals[ni] = ov[i];
+        }
+    }
+  };
+  SlotTab slot;
+  slot.reset(1 << 15);
   auto key_of = [&](int32_t l, int32_t lex, int32_t lm) {
     return ((int64_t)l * lx_ns + lex) * lm_mod + lm;
   };
@@ -455,21 +506,24 @@ int32_t craft_otf_decode_dynamic(
   auto relax = [&](std::vector<Token>& cur, int32_t l, int32_t lex,
                    int32_t lm, double sc, int32_t parent, int32_t word) {
     int64_t k = key_of(l, lex, lm);
-    auto it = slot.find(k);
-    if (it == slot.end()) {
-      slot.emplace(k, (int32_t)cur.size());
+    bool fresh;
+    size_t i = slot.probe(k, &fresh);
+    if (fresh) {
+      slot.vals[i] = (int32_t)cur.size();
       cur.push_back({l, lex, lm, sc, parent, word});
-    } else if (sc < cur[it->second].sc) {
-      cur[it->second] = {l, lex, lm, sc, parent, word};
+    } else if (sc < cur[slot.vals[i]].sc) {
+      cur[slot.vals[i]] = {l, lex, lm, sc, parent, word};
     }
   };
 
   // advance the lexicon (and LM on word emission) with phone_of(l)
   auto expand = [&](std::vector<Token>& cur, int32_t l, int32_t lex,
                     int32_t lm, double sc, int32_t parent) {
-    auto it = li.find((int64_t)lex << 32 | (uint32_t)phone_of(l));
-    if (it == li.end()) return;
-    for (int32_t j : it->second) {
+    int32_t ph = phone_of(l);
+    if (ph > max_il) return;
+    size_t r = (size_t)lex * li_cols + ph;
+    for (int32_t ai = li_off[r]; ai < li_off[r + 1]; ++ai) {
+      int32_t j = li_arc[ai];
       int32_t word = lx_ol[j];
       double s2 = sc + lx_w[j];
       int32_t lm2 = lm;
@@ -482,22 +536,157 @@ int32_t craft_otf_decode_dynamic(
     }
   };
 
-  // exact per-history lookahead machinery (la_exact mode): LAZY per
-  // (history, trie-state) memo — only the subtrees the live beam
-  // actually touches are resolved (a full per-history table over a
-  // 5k-word trie measured ~4 s/utterance of rebuild; the beam touches
-  // a tiny fraction of (u, s) pairs).  Recursion depth = max
-  // pronunciation length.
+  // exact per-history lookahead machinery (la_exact mode), r5 redesign:
+  // interval range-min queries instead of per-history table builds.
+  //  - a DFS over the lexicon's NON-emitting arcs orders the
+  //    word-emitting ("leaf") arcs so every trie state's reachable
+  //    words form one contiguous leaf interval [la_lo[s], la_hi[s])
+  //    (lexicon_fst emits a pure trie);
+  //  - per LM state v, the explicit word arcs — expanded per
+  //    pronunciation leaf, sorted by leaf index, value = lexicon
+  //    root->leaf path cost + lm_weight * arc weight — carry a
+  //    sparse-table RMQ (lev[k][i] = min over val[i .. i + 2^k));
+  //  - la(u, s) = min over (v, cw) in eps-closure(u) of
+  //    (lm_weight * cw + rangemin_v(lo[s], hi[s])) - pref[s].
+  // Min commutes over closure paths, so this equals the recursive
+  // definition exactly, at O(|closure| * log) per query with NO
+  // per-history precompute (the lazy per-pair memo it replaces walked
+  // a whole subtree on a root-adjacent miss — 0.24 utts/s vs 4.5
+  // without lookahead at 5k words).  Falls back to the recursion when
+  // the non-emitting arcs are not a tree.
   std::vector<std::vector<int32_t>> lex_out;
   std::unordered_map<int64_t, float> la_pair;
   const float kInfF = std::numeric_limits<float>::infinity();
   const bool use_exact = la_exact && has_lm;
+  std::vector<float> la_pref;
+  std::vector<int32_t> la_lo, la_hi, leaf_word;
+  std::vector<float> leaf_cost;
+  std::vector<std::vector<int32_t>> wleaf, lm_out;
+  struct LaTable {
+    std::vector<int32_t> pos;
+    std::vector<std::vector<float>> lev;
+    // for LARGE tables (the shared backoff/unigram state), the
+    // range-min over a trie state's leaf interval is
+    // history-independent — cache it per trie state (NaN = unset) so
+    // the 15-iteration binary search over ~25k entries runs once per
+    // (table, trie state) instead of once per (history, trie state)
+    std::vector<float> smemo;
+    bool built = false;
+  };
+  std::vector<LaTable> la_tab;
+  bool la_tree_ok = false;
   if (use_exact) {
     lex_out.resize(lx_ns);
     for (int32_t j = 0; j < lx_na; ++j) lex_out[lx_src[j]].push_back(j);
     la_pair.reserve(1 << 16);
+    // DFS over non-emitting arcs: pref, leaf order, [lo, hi) intervals
+    la_pref.assign(lx_ns, 0.f);
+    la_lo.assign(lx_ns, 0);
+    la_hi.assign(lx_ns, 0);
+    std::vector<char> seen(lx_ns, 0);
+    seen[lx_start] = 1;
+    la_tree_ok = true;
+    int32_t max_word = 0;
+    auto la_enter = [&](int32_t s) {
+      la_lo[s] = (int32_t)leaf_word.size();
+      for (int32_t j : lex_out[s])
+        if (lx_ol[j]) {
+          leaf_word.push_back(lx_ol[j]);
+          leaf_cost.push_back(la_pref[s] + (float)lx_w[j]);
+          max_word = std::max(max_word, lx_ol[j]);
+        }
+    };
+    la_enter(lx_start);
+    std::vector<std::pair<int32_t, size_t>> st{{lx_start, 0}};
+    while (!st.empty() && la_tree_ok) {
+      int32_t s = st.back().first;
+      size_t& ci = st.back().second;
+      const std::vector<int32_t>& out = lex_out[s];
+      while (ci < out.size() && lx_ol[out[ci]]) ++ci;   // skip leaf arcs
+      if (ci >= out.size()) {
+        la_hi[s] = (int32_t)leaf_word.size();
+        st.pop_back();
+        continue;
+      }
+      int32_t j = out[ci++];
+      int32_t d = lx_dst[j];
+      if (seen[d]) { la_tree_ok = false; break; }
+      seen[d] = 1;
+      la_pref[d] = la_pref[s] + (float)lx_w[j];
+      la_enter(d);
+      st.push_back({d, 0});
+    }
+    if (la_tree_ok) {
+      wleaf.resize(max_word + 1);
+      for (int32_t e = 0; e < (int32_t)leaf_word.size(); ++e)
+        wleaf[leaf_word[e]].push_back(e);
+      lm_out.resize(lm_ns);
+      for (int32_t j = 0; j < lm_na; ++j)
+        if (lm_il[j]) lm_out[lm_src[j]].push_back(j);
+      la_tab.resize(lm_ns);
+    }
   }
-  std::function<float(int32_t, int32_t)> la_of =
+  // global lower bound on la: key >= sc + la_floor lets prune skip the
+  // RMQ for tokens provably outside the beam on raw score
+  double la_floor = -kInf;
+  if (use_exact && la_tree_ok && lm_weight >= 0) {
+    double min_aw = 0.0, min_cw = 0.0, min_leafc = 0.0, max_pref = 0.0;
+    bool any = false;
+    for (int32_t j = 0; j < lm_na; ++j)
+      if (lm_il[j]) {
+        min_aw = any ? std::min(min_aw, (double)lm_w[j]) : (double)lm_w[j];
+        any = true;
+      }
+    for (auto& cl : closure)
+      for (auto& c : cl) min_cw = std::min(min_cw, (double)c.second);
+    for (float c : leaf_cost) min_leafc = std::min(min_leafc, (double)c);
+    for (float p : la_pref) max_pref = std::max(max_pref, (double)p);
+    la_floor = std::min(0.0, lm_weight * (min_aw + min_cw)
+                             + min_leafc - max_pref);
+  }
+  auto la_table_of = [&](int32_t v) -> LaTable& {
+    LaTable& tb = la_tab[v];
+    if (!tb.built) {
+      std::vector<std::pair<int32_t, float>> ent;
+      for (int32_t j : lm_out[v]) {
+        int32_t wd = lm_il[j];
+        if (wd < (int32_t)wleaf.size())
+          for (int32_t e : wleaf[wd])
+            ent.push_back({e, leaf_cost[e]
+                              + (float)(lm_weight * lm_w[j])});
+      }
+      std::sort(ent.begin(), ent.end());
+      size_t n = ent.size();
+      tb.pos.resize(n);
+      tb.lev.assign(1, std::vector<float>(n));
+      for (size_t i = 0; i < n; ++i) {
+        tb.pos[i] = ent[i].first;
+        tb.lev[0][i] = ent[i].second;
+      }
+      for (size_t half = 1; half * 2 <= n; half <<= 1) {
+        const std::vector<float>& p = tb.lev.back();
+        std::vector<float> nx(p.size() - half);
+        for (size_t i = 0; i < nx.size(); ++i)
+          nx[i] = std::min(p[i], p[i + half]);
+        tb.lev.push_back(std::move(nx));
+      }
+      if (n > 1024)
+        tb.smemo.assign(lx_ns, std::numeric_limits<float>::quiet_NaN());
+      tb.built = true;
+    }
+    return tb;
+  };
+  auto la_rangemin = [&](LaTable& tb, int32_t l, int32_t h) -> float {
+    size_t a = std::lower_bound(tb.pos.begin(), tb.pos.end(), l)
+               - tb.pos.begin();
+    size_t b = std::lower_bound(tb.pos.begin(), tb.pos.end(), h)
+               - tb.pos.begin();
+    if (b <= a) return kInfF;
+    int k = 31 - __builtin_clz((uint32_t)(b - a));
+    return std::min(tb.lev[k][a], tb.lev[k][b - ((size_t)1 << k)]);
+  };
+  // recursive fallback (non-trie lexicons only)
+  std::function<float(int32_t, int32_t)> la_rec =
       [&](int32_t u, int32_t s) -> float {
     if (s == lx_start) return 0.f;
     int64_t key = (int64_t)u << 32 | (uint32_t)s;
@@ -513,12 +702,78 @@ int32_t craft_otf_decode_dynamic(
         if (!lm_advance(u, ol, &v, &aw)) continue;
         w += aw;
       } else if (d != lx_start) {
-        w += la_of(u, d);
+        w += la_rec(u, d);
       }
       best = std::min(best, w);
     }
     la_pair.emplace(key, (float)best);
     return (float)best;
+  };
+  // flat open-addressing (u, s) -> la memo: the prune loop's hot path
+  // is a memo HIT, and unordered_map::find measured ~5x the cost of a
+  // linear-probed power-of-2 table on 64-bit keys
+  struct FlatMemo {
+    std::vector<int64_t> keys;   // -1 = empty ((u, s) keys are >= 0)
+    std::vector<float> vals;
+    size_t mask = 0, count = 0;
+    void reset(size_t cap) {
+      keys.assign(cap, -1); vals.assign(cap, 0.f);
+      mask = cap - 1; count = 0;
+    }
+    static size_t hash(int64_t k) {
+      return (size_t)((uint64_t)k * 0x9E3779B97F4A7C15ull >> 17);
+    }
+    bool get(int64_t k, float* out) const {
+      size_t i = hash(k) & mask;
+      while (keys[i] != -1) {
+        if (keys[i] == k) { *out = vals[i]; return true; }
+        i = (i + 1) & mask;
+      }
+      return false;
+    }
+    void put(int64_t k, float v) {
+      if ((count + 1) * 2 >= keys.size()) grow();
+      size_t i = hash(k) & mask;
+      while (keys[i] != -1) {
+        if (keys[i] == k) { vals[i] = v; return; }
+        i = (i + 1) & mask;
+      }
+      keys[i] = k; vals[i] = v; ++count;
+    }
+    void grow() {
+      std::vector<int64_t> ok; std::vector<float> ov;
+      ok.swap(keys); ov.swap(vals);
+      keys.assign(ok.size() * 2, -1); vals.assign(ok.size() * 2, 0.f);
+      mask = keys.size() - 1; count = 0;
+      for (size_t i = 0; i < ok.size(); ++i)
+        if (ok[i] != -1) put(ok[i], ov[i]);
+    }
+  };
+  FlatMemo la_memo;
+  if (use_exact && la_tree_ok) la_memo.reset(1 << 16);
+  auto la_of = [&](int32_t u, int32_t s) -> float {
+    if (s == lx_start) return 0.f;
+    if (!la_tree_ok) return la_rec(u, s);
+    int64_t key = (int64_t)u << 32 | (uint32_t)s;
+    float v;
+    if (la_memo.get(key, &v)) return v;
+    int32_t l = la_lo[s], h = la_hi[s];
+    float best = kInfF;
+    for (auto& c : closure[u]) {
+      LaTable& tb = la_table_of(c.first);
+      float m;
+      if (!tb.smemo.empty()) {
+        m = tb.smemo[s];
+        if (std::isnan(m)) { m = la_rangemin(tb, l, h); tb.smemo[s] = m; }
+      } else {
+        m = la_rangemin(tb, l, h);
+      }
+      float cand = (float)(lm_weight * c.second) + m;
+      if (cand < best) best = cand;
+    }
+    best -= la_pref[s];
+    la_memo.put(key, best);
+    return best;
   };
   auto prune_key = [&](const Token& t) -> double {
     if (use_exact) return t.sc + la_of(t.lm, t.lex);
@@ -526,22 +781,55 @@ int32_t craft_otf_decode_dynamic(
   };
   auto prune = [&](std::vector<Token>& cur) {
     if (cur.empty()) return;
-    if (beam_threshold >= 0) {
-      double best = prune_key(cur[0]);
-      for (const Token& t : cur) best = std::min(best, prune_key(t));
-      std::vector<Token> kept;
-      kept.reserve(cur.size());
-      for (const Token& t : cur)
-        if (prune_key(t) <= best + beam_threshold) kept.push_back(t);
-      cur.swap(kept);
+    // keys computed ONCE per token (prune_key may carry an RMQ)
+    std::vector<std::pair<double, Token>> kt;
+    kt.reserve(cur.size());
+    if (use_exact && beam_threshold >= 0 && std::isfinite(la_floor)
+        && cur.size() > 8) {
+      // lazy two-pass: la >= la_floor, so key >= sc + la_floor.  Seed
+      // the bound with the key of the min-sc token (k0 >= the true
+      // best key), then skip the lookahead entirely for tokens
+      // provably outside the beam on raw score — exact.
+      size_t i0 = 0;
+      for (size_t i = 1; i < cur.size(); ++i)
+        if (cur[i].sc < cur[i0].sc) i0 = i;
+      double k0 = prune_key(cur[i0]);
+      double lim = k0 + beam_threshold;
+      double best = k0;
+      for (const Token& t : cur) {
+        if (t.sc + la_floor > lim) continue;
+        double k = prune_key(t);
+        if (k < best) best = k;
+        kt.push_back({k, t});
+      }
+      double cut = best + beam_threshold;
+      std::vector<std::pair<double, Token>> kept;
+      kept.reserve(kt.size());
+      for (auto& p : kt)
+        if (p.first <= cut) kept.push_back(p);
+      kt.swap(kept);
+    } else {
+      for (const Token& t : cur) kt.push_back({prune_key(t), t});
+      if (beam_threshold >= 0) {
+        double best = kt[0].first;
+        for (auto& p : kt) best = std::min(best, p.first);
+        std::vector<std::pair<double, Token>> kept;
+        kept.reserve(kt.size());
+        for (auto& p : kt)
+          if (p.first <= best + beam_threshold) kept.push_back(p);
+        kt.swap(kept);
+      }
     }
-    if (max_active > 0 && (int32_t)cur.size() > max_active) {
-      std::nth_element(cur.begin(), cur.begin() + max_active - 1, cur.end(),
-                       [&](const Token& a, const Token& b) {
-                         return prune_key(a) < prune_key(b);
+    if (max_active > 0 && (int32_t)kt.size() > max_active) {
+      std::nth_element(kt.begin(), kt.begin() + max_active - 1, kt.end(),
+                       [](const std::pair<double, Token>& a,
+                          const std::pair<double, Token>& b) {
+                         return a.first < b.first;
                        });
-      cur.resize(max_active);
+      kt.resize(max_active);
     }
+    cur.clear();
+    for (auto& p : kt) cur.push_back(p.second);
   };
 
   slot.clear();

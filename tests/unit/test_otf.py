@@ -313,3 +313,79 @@ def test_lm_lookahead_rescues_tight_beam():
     except ValueError:
         w_no = None                    # beam died: also a search error
     assert w_no != ["by"]
+
+
+def test_exact_lookahead_rmq_equals_recursion(rng):
+    """The r5 interval/RMQ exact lookahead (leaf-interval DFS +
+    per-LM-state sparse-table range-min, decode/otf._exact_lookahead)
+    equals the recursive per-(history, state) definition
+    (_exact_lookahead_lazy) on every (LM state, trie state) pair — on a
+    WEIGHTED trie (random arc weights exercise the pref/path-cost
+    bookkeeping that lexicon_fst's zero weights would hide) with a
+    pruned backoff LM whose epsilon closure has multi-state paths."""
+    import dataclasses
+
+    from asr_craft_tpu.decode.otf import (_exact_lookahead,
+                                          _exact_lookahead_lazy,
+                                          _lm_closed)
+
+    lexicon = {"ab": [0, 1], "ba": [1, 0], "cc": [2, 2],
+               "abc": [0, 1, 2], "abca": [0, 1, 2, 0], "c": [2]}
+    words = list(lexicon)
+    lex0 = F.lexicon_fst(lexicon, words)
+    lm = _backoff_lm_n(len(words))
+    for lm_weight in (1.0, 1.7):
+        for trial in range(3):
+            w = rng.uniform(0.0, 2.0, size=lex0.num_arcs)
+            lex = dataclasses.replace(lex0, weight=w)
+            fast = _exact_lookahead(lex, lm, lm_weight)
+            lm_adv, _ = _lm_closed(lm, lm_weight)
+            slow = _exact_lookahead_lazy(lex, lm_adv)
+            for u in range(lm.num_states):
+                for s in range(lex.num_states):
+                    a = fast((0, s, u))
+                    b = slow((0, s, u))
+                    if np.isinf(b):
+                        assert np.isinf(a), (u, s)
+                    else:
+                        np.testing.assert_allclose(a, b, rtol=1e-9,
+                                                   err_msg=f"{(u, s)}")
+
+
+def _backoff_lm_n(n):
+    """Pruned backoff bigram over n words (some bigrams seen)."""
+    bigrams = {(-1, 0): np.log(0.6), (0, 1): np.log(0.5),
+               (1, 2): np.log(0.4), (2, 0): np.log(0.5),
+               (3, 1): np.log(0.3)}
+    alpha = {u: np.log(0.5) for u in range(-1, n)}
+    logp_uni = np.log(np.full(n, 1.0 / n))
+    logp_final = {u: np.log(0.2) for u in range(-1, n)}
+    return F.backoff_bigram_lm_fst(n, bigrams, logp_uni, alpha, logp_final)
+
+
+def test_exact_lookahead_native_parity_under_pruning(rng):
+    """py RMQ lookahead == native RMQ lookahead: pruned decodes agree on
+    a 6-word lexicon with a pruned backoff LM across beams (the native
+    twin builds its tables in C++ — same interval/RMQ design)."""
+    from asr_craft_tpu.decode import fst_native
+    from asr_craft_tpu.decode.otf import otf_decode_words_dynamic
+
+    if not fst_native.available():
+        pytest.skip("native fst backend not built")
+    lexicon = {"ab": [0, 1], "ba": [1, 0], "cc": [2, 2],
+               "abc": [0, 1, 2], "abca": [0, 1, 2, 0], "c": [2]}
+    words = list(lexicon)
+    lex = F.lexicon_fst(lexicon, words)
+    lm = _backoff_lm_n(len(words))
+    state, trans = _problem(rng, T=16)
+    for kw in (dict(beam_threshold=6.0, max_active=8),
+               dict(max_active=3), dict(beam_threshold=4.0)):
+        w_py, p_py, wt_py = otf_decode_words_dynamic(
+            state, trans, len(state), lex, words, lm=lm, lm_weight=1.5,
+            backend="py", lookahead=True, **kw)
+        w_nat, p_nat, wt_nat = fst_native.otf_decode_dynamic(
+            state, trans, len(state), lex, words, lm=lm, lm_weight=1.5,
+            lookahead=True, **kw)
+        assert w_nat == w_py, kw
+        assert p_nat == p_py, kw
+        np.testing.assert_allclose(wt_nat, wt_py, rtol=1e-5)
