@@ -85,9 +85,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fully dynamic lexicon/LM composition (no search "
                    "graph built; WSJ-scale lexicons + pruned backoff "
                    "LMs).  Production operating point at 5k words "
-                   "(runs/baseline_table.json word_decode_scale): "
-                   "--beam_threshold 20 --max_active 512 with the "
-                   "default LM lookahead")
+                   "(runs/baseline_table.json word_decode_scale "
+                   "beam_sweep_native_la): --beam_threshold 22 "
+                   "--max_active 512 with the default LM lookahead "
+                   "(WER 0.128 vs 0.123 wide-beam at >5 utts/s); "
+                   "--beam_threshold 25 trades ~20%% speed for the "
+                   "0.125 quality point")
     p.add_argument("--no_lm_lookahead", action="store_true",
                    help="disable the LM lookahead pruning potentials in "
                    "--otf_dynamic (lookahead is on by default: tight "

@@ -311,6 +311,23 @@ def word_decode_scale_rows(fast):
     h2 = open(f"{tmp}/hyp_dyn_native_wide.txt").read().splitlines()
     row["beam_vs_wide_differing_utts"] = sum(
         1 for a, b in zip(sorted(h1), sorted(h2)) if a != b)
+    # lookahead-enabled beam sweep (r5): with the RMQ exact lookahead
+    # near-free, the production point is chosen from WER/speed pairs
+    # with the lookahead ON (the r4 sweep was lookahead-less)
+    sweep = {}
+    for thr, ma in ((12, 192), (16, 384), (20, 512), (22, 512),
+                    (25, 512), (25, 800), (30, 1000), (40, 1500)):
+        t0 = time.perf_counter()
+        recs = run_jsonl(common + ["--fst_backend", "native",
+                                   "--beam_threshold", str(float(thr)),
+                                   "--max_active", str(ma)],
+                         timeout=3600)
+        wall = time.perf_counter() - t0
+        d = last(recs, "decode_done")
+        sweep[f"{thr}/{ma}"] = {
+            "wer": round(d.get("wer", d.get("error_rate")), 5),
+            "utts_per_s": round(n_test / wall, 2)}
+    row["beam_sweep_native_la"] = sweep
     return row
 
 
