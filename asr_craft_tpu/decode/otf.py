@@ -545,10 +545,13 @@ def otf_decode_words_dynamic(log_phi_state, log_phi_trans, length,
     trans = np.asarray(log_phi_trans, np.float64)
     T, L = state.shape
     phone_of = (np.arange(L) // num_states + 1).astype(np.int64)
-    li: Dict[Tuple[int, int], List[int]] = {}
+    # arcs grouped by SOURCE trie state: token expansion is ARC-driven
+    # (a deep trie state has 1-3 continuations vs all phones)
+    arcs_by_src: Dict[int, List[Tuple[int, int, float, int]]] = {}
     for j in range(lex.num_arcs):
-        li.setdefault((int(lex.src[j]), int(lex.ilabel[j])),
-                      []).append(j)
+        arcs_by_src.setdefault(int(lex.src[j]), []).append(
+            (int(lex.ilabel[j]), int(lex.dst[j]), float(lex.weight[j]),
+             int(lex.olabel[j])))
     if lm is not None:
         lm_adv, lm_fin = _lm_closed(lm, lm_weight)
         lm0 = lm.start
@@ -563,45 +566,55 @@ def otf_decode_words_dynamic(log_phi_state, log_phi_trans, length,
     else:
         phi = None
 
-    def expand(store, l, lexs, lms, sc, parent):
-        """Advance the lexicon (and LM on word emission) with phone_of(l)."""
-        for j in li.get((lexs, int(phone_of[l])), ()):
-            w = int(lex.olabel[j])
-            sc2 = sc + float(lex.weight[j])
+    def expand_arcs(store, lexs, lms, ph, w_lp, sc, parent):
+        """ARC-driven: take each out-arc of trie state ``lexs`` whose
+        phone q differs from the token's phone ``ph`` (q == ph would
+        continue the frame run instead), relaxing every expanded state
+        of q — the same relaxation set as the per-destination-label
+        form, at out-degree * ns iterations instead of L.  ``w_lp``:
+        per-destination acoustic+transition weight vector."""
+        for q, dst, aw, word in arcs_by_src.get(lexs, ()):
+            if q == ph or q < 1 or q * num_states > L:
+                continue
+            sc2 = sc + aw
             lm2 = lms
-            if w and lm_adv is not None:
-                a = lm_adv(lms, w)
+            if word and lm_adv is not None:
+                a = lm_adv(lms, word)
                 if a is None:
                     continue
                 lm2, lw = a
                 sc2 += lw
-            key = (l, int(lex.dst[j]), lm2)
-            e = store.get(key)
-            if e is None or sc2 < e[0]:
-                store[key] = [sc2, parent, w]
+            for lp in range((q - 1) * num_states, q * num_states):
+                w = w_lp[lp]
+                if w < _FINITE:
+                    continue
+                key = (lp, dst, lm2)
+                s3 = sc2 - w
+                e = store.get(key)
+                if e is None or s3 < e[0]:
+                    store[key] = [s3, parent, word]
 
     cur: dict = {}
-    for l in range(L):
-        if state[0, l] < _FINITE:
-            continue
-        expand(cur, l, lex.start, lm0, -state[0, l], -1)
+    expand_arcs(cur, lex.start, lm0, 0, state[0], 0.0, -1)
     frames = [list(_prune(cur, beam_threshold, max_active, phi).items())]
 
     for t in range(1, T):
         tr = trans if trans.ndim == 2 else trans[t]
+        st_t = state[t]
         nxt: dict = {}
         for eid, ((l, lexs, lms), (sc, _, _)) in enumerate(frames[-1]):
-            arc_w = tr[l] + state[t]
-            for lp in range(L):
-                if arc_w[lp] < _FINITE:
+            arc_w = tr[l] + st_t
+            ph = int(phone_of[l])
+            for lp in range((ph - 1) * num_states, ph * num_states):
+                w = arc_w[lp]                      # run continues
+                if w < _FINITE:
                     continue
-                ns = sc - arc_w[lp]
-                if phone_of[lp] == phone_of[l]:
-                    e = nxt.get((lp, lexs, lms))
-                    if e is None or ns < e[0]:
-                        nxt[(lp, lexs, lms)] = [ns, eid, 0]
-                else:
-                    expand(nxt, lp, lexs, lms, ns, eid)
+                key = (lp, lexs, lms)
+                ns = sc - w
+                e = nxt.get(key)
+                if e is None or ns < e[0]:
+                    nxt[key] = [ns, eid, 0]
+            expand_arcs(nxt, lexs, lms, ph, arc_w, sc, eid)
         frames.append(list(_prune(nxt, beam_threshold, max_active,
                                   phi).items()))
 

@@ -371,22 +371,18 @@ int32_t craft_otf_decode_dynamic(
   const double kFinite = -1e29;
   struct Token { int32_t l, lex, lm; double sc; int32_t parent, word; };
 
-  // lexicon arc index by (state, phone ilabel) — CSR over the dense
-  // (state, phone) grid (a hash find per expand call measured hot)
-  int32_t max_il = 0;
-  for (int32_t j = 0; j < lx_na; ++j) max_il = std::max(max_il, lx_il[j]);
-  const int64_t li_cols = (int64_t)max_il + 1;
-  std::vector<int32_t> li_off((size_t)lx_ns * li_cols + 1, 0);
-  std::vector<int32_t> li_arc(lx_na);
-  for (int32_t j = 0; j < lx_na; ++j)
-    ++li_off[(size_t)lx_src[j] * li_cols + lx_il[j] + 1];
-  for (size_t i = 1; i < li_off.size(); ++i) li_off[i] += li_off[i - 1];
+  // lexicon arcs CSR by SOURCE state: token expansion is ARC-driven
+  // (iterate the trie state's few out-arcs, not all phones — a deep
+  // trie state has 1-3 continuations vs 42 phones)
+  std::vector<int32_t> lsrc_off(lx_ns + 1, 0);
+  std::vector<int32_t> lsrc_arc(lx_na);
+  for (int32_t j = 0; j < lx_na; ++j) ++lsrc_off[lx_src[j] + 1];
+  for (size_t i = 1; i < lsrc_off.size(); ++i)
+    lsrc_off[i] += lsrc_off[i - 1];
   {
-    std::vector<int32_t> fill((size_t)lx_ns * li_cols, 0);
-    for (int32_t j = 0; j < lx_na; ++j) {
-      size_t r = (size_t)lx_src[j] * li_cols + lx_il[j];
-      li_arc[li_off[r] + fill[r]++] = j;
-    }
+    std::vector<int32_t> fill(lx_ns, 0);
+    for (int32_t j = 0; j < lx_na; ++j)
+      lsrc_arc[lsrc_off[lx_src[j]] + fill[lx_src[j]]++] = j;
   }
 
   // LM: word-arc index, epsilon adjacency, per-state epsilon closure and
@@ -516,14 +512,19 @@ int32_t craft_otf_decode_dynamic(
     }
   };
 
-  // advance the lexicon (and LM on word emission) with phone_of(l)
-  auto expand = [&](std::vector<Token>& cur, int32_t l, int32_t lex,
-                    int32_t lm, double sc, int32_t parent) {
-    int32_t ph = phone_of(l);
-    if (ph > max_il) return;
-    size_t r = (size_t)lex * li_cols + ph;
-    for (int32_t ai = li_off[r]; ai < li_off[r + 1]; ++ai) {
-      int32_t j = li_arc[ai];
+  // ARC-driven expansion: for a token at trie state `lex`, take each
+  // out-arc whose phone q differs from the token's current phone ph
+  // (the frame-run collapser: q == ph continues the run instead), and
+  // relax every expanded state of phone q.  Identical relaxation set
+  // to the per-destination-label formulation, at out-degree(lex) * ns
+  // iterations instead of L.
+  auto expand_arcs = [&](std::vector<Token>& cur, int32_t lex,
+                         int32_t lm, int32_t ph, const double* trow,
+                         const double* st, double sc, int32_t parent) {
+    for (int32_t ai = lsrc_off[lex]; ai < lsrc_off[lex + 1]; ++ai) {
+      int32_t j = lsrc_arc[ai];
+      int32_t q = lx_il[j];
+      if (q == ph || q < 1 || q * num_states > L) continue;
       int32_t word = lx_ol[j];
       double s2 = sc + lx_w[j];
       int32_t lm2 = lm;
@@ -532,7 +533,12 @@ int32_t craft_otf_decode_dynamic(
         if (!lm_advance(lm, word, &lm2, &lw)) continue;
         s2 += lw;
       }
-      relax(cur, l, lx_dst[j], lm2, s2, parent, word);
+      int32_t qp0 = (q - 1) * num_states;
+      for (int32_t lp = qp0; lp < qp0 + num_states; ++lp) {
+        double w = trow ? trow[lp] + st[lp] : st[lp];
+        if (w < kFinite) continue;
+        relax(cur, lp, lx_dst[j], lm2, s2 - w, parent, word);
+      }
     }
   };
 
@@ -834,11 +840,9 @@ int32_t craft_otf_decode_dynamic(
 
   slot.clear();
   const int32_t lm0 = has_lm ? lm_start : 0;
-  for (int32_t l = 0; l < L; ++l) {
-    double s0 = state[l];
-    if (s0 < kFinite) continue;
-    expand(frames[0], l, lx_start, lm0, -s0, -1);
-  }
+  // frame 0: every arc out of the trie root (ph sentinel 0 = nothing
+  // is "same phone"), scored by the frame-0 state potentials
+  expand_arcs(frames[0], lx_start, lm0, 0, nullptr, state, 0.0, -1);
   prune(frames[0]);
 
   for (int32_t t = 1; t < T; ++t) {
@@ -850,15 +854,13 @@ int32_t craft_otf_decode_dynamic(
       const Token tok = prev[eid];
       const double* trow = tr + (int64_t)tok.l * L;
       int32_t ph = phone_of(tok.l);
-      for (int32_t lp = 0; lp < L; ++lp) {
-        double w = trow[lp] + st[lp];
+      int32_t lp0 = (ph - 1) * num_states;
+      for (int32_t lp = lp0; lp < lp0 + num_states; ++lp) {
+        double w = trow[lp] + st[lp];              // run continues
         if (w < kFinite) continue;
-        double ns = tok.sc - w;
-        if (phone_of(lp) == ph)
-          relax(frames[t], lp, tok.lex, tok.lm, ns, eid, 0);
-        else
-          expand(frames[t], lp, tok.lex, tok.lm, ns, eid);
+        relax(frames[t], lp, tok.lex, tok.lm, tok.sc - w, eid, 0);
       }
+      expand_arcs(frames[t], tok.lex, tok.lm, ph, trow, st, tok.sc, eid);
     }
     prune(frames[t]);
   }
